@@ -1,0 +1,176 @@
+"""Typed configuration for the CAPE TPU framework.
+
+Replaces the reference's ~90-flag argparse namespace
+(`models/train_cape_episodic.py:86-254`) with a JSON-serializable dataclass.
+Checkpoints embed the config so they are self-describing (parity with the
+reference pickling `args` into checkpoints, `train_cape_episodic.py:870`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class CAPEConfig:
+    """Full model + training + data configuration.
+
+    Defaults mirror the reference training CLI defaults
+    (`models/train_cape_episodic.py:86-254`) unless noted.
+    """
+
+    # ---- episodic parameters ----
+    num_queries_per_episode: int = 2
+    num_support_per_episode: int = 1          # K-shot
+    episodes_per_epoch: int = 1000
+    val_episodes_per_epoch: int = 200
+    fixed_val_episodes: bool = True
+    val_seed: int = 42
+    category_split_file: str = "category_splits.json"
+
+    # ---- support encoder (geometric) ----
+    support_encoder_layers: int = 3
+    support_fusion_method: str = "cross_attention"
+    use_geometric_encoder: bool = True        # the CapeX-style encoder is the shipped path
+    use_gcn_preenc: bool = True
+    num_gcn_layers: int = 2
+    max_support_keypoints: int = 100          # static pad size for support sets
+    max_skeleton_edges: int = 128             # static pad size for skeleton edge lists
+
+    # ---- optimization ----
+    lr: float = 1e-4
+    lr_backbone: float = 1e-5
+    lr_linear_proj_mult: float = 0.1          # applied to deformable sampling offsets
+    batch_size: int = 2                       # episodes per batch
+    accumulation_steps: int = 4
+    weight_decay: float = 1e-4
+    epochs: int = 300
+    scheduler: str = "cosine_warmrestarts"    # multistep | cosine_warmrestarts | onecycle
+    lr_drop_epochs: Tuple[int, ...] = (200, 250)
+    warmup_epochs: int = 5
+    t0: int = 20                              # cosine warm-restart initial period
+    t_mult: int = 2
+    eta_min: float = 1e-6
+    early_stopping_patience: int = 20
+    clip_max_norm: float = 0.1
+
+    # ---- input ----
+    input_channels: int = 3
+    image_size: int = 512                     # post-resize square size (aug pipeline, mp100_cape.py:940)
+    image_norm: bool = False                  # ImageNet mean/std normalization
+
+    # ---- backbone ----
+    backbone: str = "resnet50"
+    dilation: bool = False
+    position_embedding: str = "sine"
+    num_feature_levels: int = 4
+
+    # ---- transformer ----
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 1024
+    hidden_dim: int = 256
+    dropout: float = 0.1
+    nheads: int = 8
+    dec_n_points: int = 4
+    enc_n_points: int = 4
+    query_pos_type: str = "sine"
+    with_poly_refine: bool = True
+
+    # ---- sequence / vocab ----
+    seq_len: int = 200
+    vocab_size: int = 2000                    # num_bins = int(sqrt(vocab_size)) = 44
+    min_decode_len: int = 6                   # EOS suppressed before this step (roomformer_v2.py:460)
+
+    # ---- loss ----
+    aux_loss: bool = True
+    cls_loss_coef: float = 1.0
+    coords_loss_coef: float = 5.0
+    eos_weight: float = 20.0
+    label_smoothing: float = 0.0
+
+    # ---- dataset ----
+    dataset_name: str = "mp100"
+    dataset_root: str = ""
+    mp100_split: int = 1
+
+    # ---- runtime ----
+    seed: int = 42
+    output_dir: str = "output/cape_episodic"
+    bf16: bool = True                         # run compute in bfloat16 on TPU
+    num_data_threads: int = 2
+    mesh_shape: Tuple[int, ...] = (-1,)       # data-parallel axis, -1 = all devices
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    # ---- pallas kernels ----
+    use_pallas_msda: bool = False             # flip when kernel validated on-device
+
+    # ------------------------------------------------------------------
+    @property
+    def num_bins(self) -> int:
+        """Grid resolution per axis. `mp100_cape.py:118-121`."""
+        return int(math.isqrt(self.vocab_size))
+
+    @property
+    def token_vocab_size(self) -> int:
+        """num_bins^2 grid cells + BOS/EOS/SEP/PAD (`discrete_tokenizer.py:20-28`)."""
+        return self.num_bins * self.num_bins + 4
+
+    @property
+    def num_token_classes(self) -> int:
+        """Token-type classes predicted by the class head: coord/sep/eos."""
+        return 3
+
+    # ------------------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "CAPEConfig":
+        data = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in data.items() if k in known}
+        for f in dataclasses.fields(cls):
+            if f.name in kwargs and isinstance(f.default, tuple):
+                kwargs[f.name] = tuple(kwargs[f.name])
+        return cls(**kwargs)
+
+    def replace(self, **kwargs) -> "CAPEConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def tiny_test_config(**overrides) -> CAPEConfig:
+    """A miniature config for unit tests: small images, few layers.
+
+    Keeps every architectural feature enabled so tests cover the real code
+    paths, just at toy sizes.
+    """
+    base = dict(
+        image_size=64,
+        hidden_dim=64,
+        dim_feedforward=128,
+        enc_layers=2,
+        dec_layers=2,
+        nheads=4,
+        seq_len=24,
+        vocab_size=100,               # num_bins = 10
+        max_support_keypoints=12,
+        max_skeleton_edges=16,
+        support_encoder_layers=1,
+        num_gcn_layers=1,
+        episodes_per_epoch=4,
+        val_episodes_per_epoch=2,
+        batch_size=1,
+        accumulation_steps=1,
+        epochs=2,
+        warmup_epochs=0,
+        min_decode_len=2,
+        bf16=False,
+        dropout=0.0,
+    )
+    base.update(overrides)
+    return CAPEConfig(**base)
