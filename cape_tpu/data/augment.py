@@ -1,0 +1,159 @@
+"""Host-side appearance + geometric augmentations (numpy/cv2).
+
+Replaces the reference's albumentations pipeline (`mp100_cape.py:898-946`)
+with deterministic numpy implementations driven by an explicit
+`np.random.Generator`:
+
+- Affine: ±10% translate, 0.85-1.15 scale, ±30° rotate, p=0.7
+- Horizontal flip, p=0.5
+- Color jitter (brightness/contrast/saturation/hue ±0.2), p=0.6
+- One of {gaussian noise, gaussian blur, motion blur}, p=0.3
+- Deterministic resize to (size, size) with proportional keypoint scaling
+
+Keypoints are transformed with the image and NEVER dropped
+(`remove_invisible=False`, `mp100_cape.py:940`) so index correspondence with
+skeleton edges is preserved; out-of-frame keypoints simply land outside
+[0, size] and are clamped at tokenization time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _resize(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize to (h, w)."""
+    h, w = size
+    if _HAS_CV2:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    # numpy fallback: nearest sampling (tests only)
+    ys = (np.arange(h) * img.shape[0] / h).astype(np.int64)
+    xs = (np.arange(w) * img.shape[1] / w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def resize_with_keypoints(img, keypoints, size: int):
+    """Deterministic resize (val/test path, `mp100_cape.py:943-946`)."""
+    h, w = img.shape[:2]
+    out = _resize(img, (size, size))
+    kpts = np.asarray(keypoints, dtype=np.float64).reshape(-1, 2).copy()
+    kpts[:, 0] *= size / w
+    kpts[:, 1] *= size / h
+    return out, kpts
+
+
+def _affine_matrix(h, w, angle_deg, scale, tx_frac, ty_frac):
+    """2x3 affine: rotate+scale about image center, then translate."""
+    cx, cy = w / 2.0, h / 2.0
+    a = math.radians(angle_deg)
+    cos, sin = math.cos(a) * scale, math.sin(a) * scale
+    # rotation about center + fractional translation
+    m = np.array(
+        [
+            [cos, -sin, cx - cos * cx + sin * cy + tx_frac * w],
+            [sin, cos, cy - sin * cx - cos * cy + ty_frac * h],
+        ],
+        dtype=np.float64,
+    )
+    return m
+
+
+def _apply_affine(img, kpts, m):
+    h, w = img.shape[:2]
+    if _HAS_CV2:
+        out = cv2.warpAffine(
+            img, m, (w, h), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT
+        )
+    else:  # pragma: no cover - identity fallback
+        out = img
+    ones = np.ones((kpts.shape[0], 1))
+    pts = np.concatenate([kpts, ones], axis=1)  # (N, 3)
+    return out, pts @ m.T
+
+
+def _color_jitter(img, rng, strength=0.2):
+    """Brightness/contrast/saturation jitter on uint8 RGB."""
+    x = img.astype(np.float32)
+    # brightness
+    x = x * rng.uniform(1 - strength, 1 + strength)
+    # contrast
+    mean = x.mean()
+    x = (x - mean) * rng.uniform(1 - strength, 1 + strength) + mean
+    # saturation
+    gray = x.mean(axis=-1, keepdims=True)
+    x = (x - gray) * rng.uniform(1 - strength, 1 + strength) + gray
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def _gauss_noise(img, rng):
+    noise = rng.normal(0.0, rng.uniform(5.0, 15.0), img.shape)
+    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+
+def _gaussian_blur(img, rng):
+    if not _HAS_CV2:  # pragma: no cover
+        return img
+    k = int(rng.choice([3, 5]))
+    return cv2.GaussianBlur(img, (k, k), 0)
+
+
+def _motion_blur(img, rng):
+    if not _HAS_CV2:  # pragma: no cover
+        return img
+    k = int(rng.choice([3, 5]))
+    kernel = np.zeros((k, k), dtype=np.float32)
+    if rng.uniform() < 0.5:
+        kernel[k // 2, :] = 1.0 / k
+    else:
+        kernel[:, k // 2] = 1.0 / k
+    return cv2.filter2D(img, -1, kernel)
+
+
+def train_augment(img: np.ndarray, keypoints: np.ndarray, size: int, rng: np.random.Generator):
+    """Full training augmentation, keypoint-aware.
+
+    Mirrors the reference list (`mp100_cape.py:898-941`): affine -> hflip ->
+    color jitter -> one-of noise/blur -> resize(size, size).
+
+    Args:
+        img: (H, W, 3) uint8 RGB crop.
+        keypoints: (N, 2) pixel coords in crop frame.
+        rng: explicit generator (reproducible under a seeded host PRNG).
+    Returns:
+        (aug_img (size,size,3) uint8, keypoints (N,2) float64 in [0,size] frame)
+    """
+    kpts = np.asarray(keypoints, dtype=np.float64).reshape(-1, 2).copy()
+    h, w = img.shape[:2]
+
+    if rng.uniform() < 0.7:
+        m = _affine_matrix(
+            h,
+            w,
+            angle_deg=rng.uniform(-30, 30),
+            scale=rng.uniform(0.85, 1.15),
+            tx_frac=rng.uniform(-0.1, 0.1),
+            ty_frac=rng.uniform(-0.1, 0.1),
+        )
+        img, kpts = _apply_affine(img, kpts, m)
+
+    if rng.uniform() < 0.5:
+        img = img[:, ::-1].copy()
+        kpts[:, 0] = (w - 1) - kpts[:, 0]
+
+    if rng.uniform() < 0.6:
+        img = _color_jitter(img, rng)
+
+    if rng.uniform() < 0.3:
+        img = [_gauss_noise, _gaussian_blur, _motion_blur][int(rng.integers(3))](img, rng)
+
+    return resize_with_keypoints(img, kpts, size)

@@ -1,0 +1,209 @@
+"""Episodic sampling + fixed-shape batch assembly for CAPE training.
+
+TPU-native re-design of `datasets/episodic_sampler.py`: instead of torch
+DataLoader workers + ragged collation, a host-side sampler produces
+**static-shape numpy batches** (support keypoints padded to
+`max_support_keypoints`, skeleton edges padded to `max_skeleton_edges` with
+-1) so every batch jit-compiles once.
+
+Semantics preserved from the reference:
+- category -> image-index map from each image's first annotation
+  (`episodic_sampler.py:49-60`)
+- categories need >= support+queries examples (`:61-91`)
+- episode = 1 category, K supports + Q queries sampled without replacement
+  (`:94-110`)
+- support coords normalized to [0,1] by post-transform image dims, mask
+  True where visibility == 0 i.e. True = ignore (`:263-284`)
+- K-shot aggregation: mean over support coords, `any` over masks; aggregated
+  support repeated per query so support[i] aligns with query[i] (`:434-471`)
+- retry-on-ImageNotFoundError resampling (`:234-371`)
+- fixed pre-generated episode lists for stable val curves (`:162-170`)
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .mp100 import ImageNotFoundError, MP100Dataset
+
+
+class EpisodicSampler:
+    """Samples (category, support indices, query indices) episodes."""
+
+    def __init__(
+        self,
+        dataset: MP100Dataset,
+        category_split_file: str,
+        split: str = "train",
+        num_queries: int = 2,
+        num_support: int = 1,
+    ):
+        self.dataset = dataset
+        self.num_queries = num_queries
+        self.num_support = num_support
+        with open(category_split_file) as f:
+            splits = json.load(f)
+        if split not in splits:
+            raise ValueError(f"Unknown split {split!r}; file has {list(splits)}")
+        requested = list(splits[split])
+
+        cat_to_idx = defaultdict(list)
+        for idx, img_id in enumerate(dataset.ids):
+            anns = dataset.coco.load_anns(img_id)
+            if anns:
+                cid = anns[0].get("category_id", 0)
+                if cid in requested:
+                    cat_to_idx[cid].append(idx)
+        min_examples = num_queries + num_support
+        self.category_to_indices = dict(cat_to_idx)
+        self.categories = [
+            c for c in requested if len(cat_to_idx.get(c, ())) >= min_examples
+        ]
+        if not self.categories:
+            raise ValueError(
+                f"No category in split {split!r} has >= {min_examples} examples"
+            )
+
+    def sample_episode(self, rng: np.random.Generator) -> Dict:
+        cid = self.categories[int(rng.integers(len(self.categories)))]
+        pool = self.category_to_indices[cid]
+        picks = rng.choice(len(pool), size=self.num_support + self.num_queries, replace=False)
+        idxs = [pool[int(i)] for i in picks]
+        return {
+            "category_id": cid,
+            "support_indices": idxs[: self.num_support],
+            "query_indices": idxs[self.num_support :],
+        }
+
+    def fixed_episodes(self, n: int, seed: int) -> List[Dict]:
+        rng = np.random.default_rng(seed)
+        return [self.sample_episode(rng) for _ in range(n)]
+
+
+def load_episode(
+    dataset: MP100Dataset,
+    episode: Dict,
+    rng: np.random.Generator,
+    max_retries: int = 100,
+    sampler: Optional[EpisodicSampler] = None,
+) -> Dict:
+    """Load all records for an episode, resampling on bad images."""
+    for _ in range(max_retries):
+        try:
+            supports = [dataset.get_record(i, rng) for i in episode["support_indices"]]
+            queries = [dataset.get_record(i, rng) for i in episode["query_indices"]]
+            return {
+                "category_id": episode["category_id"],
+                "supports": supports,
+                "queries": queries,
+            }
+        except ImageNotFoundError:
+            if sampler is None:
+                raise
+            episode = sampler.sample_episode(rng)
+    raise RuntimeError(f"No valid episode after {max_retries} retries")
+
+
+def collate_episodes(
+    episodes: Sequence[Dict],
+    image_size: int,
+    max_support_keypoints: int,
+    max_skeleton_edges: int,
+) -> Dict[str, np.ndarray]:
+    """Assemble loaded episodes into one fixed-shape numpy batch.
+
+    Returns dict with leading dim B = num_episodes * queries_per_episode:
+        query_images    (B, S, S, 3) float32
+        support_coords  (B, MAXK, 2) float32, [0,1], K-shot mean-pooled
+        support_mask    (B, MAXK) bool, True = invalid/ignore
+        skeleton_edges  (B, MAXE, 2) int32, -1 padded
+        targets         dict of (B, L[, 2]) arrays (tokenizer contract)
+        category_ids    (B,) int32
+        bbox_dims       (B, 2) float32 — original (w, h) pixels
+        gt_visibility   (B, MAXK) int32 — query keypoint visibility
+        num_keypoints   (B,) int32 — per-query category keypoint count
+    """
+    q_images, tgt_lists = [], defaultdict(list)
+    sc_list, sm_list, sk_list = [], [], []
+    cids, bdims, vis_list, nkpts = [], [], [], []
+
+    for ep in episodes:
+        supports, queries = ep["supports"], ep["queries"]
+        # per-support padded coords/mask
+        coords = np.zeros((len(supports), max_support_keypoints, 2), np.float32)
+        masks = np.ones((len(supports), max_support_keypoints), bool)
+        for si, s in enumerate(supports):
+            n = min(s["num_keypoints"], max_support_keypoints)
+            c = np.asarray(s["keypoints"][:n], np.float32) / float(image_size)
+            coords[si, :n] = np.clip(c, 0.0, 1.0)
+            masks[si, :n] = np.asarray(s["visibility"][:n]) == 0
+        agg_coords = coords.mean(axis=0)
+        agg_mask = masks.any(axis=0)
+
+        # first support's skeleton, -1 padded (`episodic_sampler.py:461-465`)
+        edges = np.full((max_skeleton_edges, 2), -1, np.int32)
+        raw = supports[0]["skeleton"][:max_skeleton_edges]
+        if raw:
+            edges[: len(raw)] = np.asarray(raw, np.int32)
+
+        for q in queries:
+            q_images.append(q["image"])
+            for k, v in q["seq_data"].items():
+                tgt_lists[k].append(v)
+            sc_list.append(agg_coords)
+            sm_list.append(agg_mask)
+            sk_list.append(edges)
+            cids.append(ep["category_id"])
+            bdims.append([q["bbox_width"], q["bbox_height"]])
+            v = np.zeros((max_support_keypoints,), np.int32)
+            n = min(q["num_keypoints"], max_support_keypoints)
+            v[:n] = np.asarray(q["visibility"][:n], np.int32)
+            vis_list.append(v)
+            nkpts.append(q["num_keypoints"])
+
+    return {
+        "query_images": np.stack(q_images),
+        "support_coords": np.stack(sc_list),
+        "support_mask": np.stack(sm_list),
+        "skeleton_edges": np.stack(sk_list),
+        "targets": {k: np.stack(v) for k, v in tgt_lists.items()},
+        "category_ids": np.asarray(cids, np.int32),
+        "bbox_dims": np.asarray(bdims, np.float32),
+        "gt_visibility": np.stack(vis_list),
+        "num_keypoints": np.asarray(nkpts, np.int32),
+    }
+
+
+def episode_batches(
+    dataset: MP100Dataset,
+    sampler: EpisodicSampler,
+    batch_episodes: int,
+    num_batches: int,
+    image_size: int,
+    max_support_keypoints: int,
+    max_skeleton_edges: int,
+    rng: np.random.Generator,
+    fixed: Optional[List[Dict]] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield `num_batches` fixed-shape episode batches.
+
+    With `fixed`, iterates a pre-generated episode list (stable validation);
+    otherwise samples fresh episodes each batch.
+    """
+    ep_idx = 0
+    for _ in range(num_batches):
+        eps = []
+        for _ in range(batch_episodes):
+            if fixed is not None:
+                episode = fixed[ep_idx % len(fixed)]
+                ep_idx += 1
+            else:
+                episode = sampler.sample_episode(rng)
+            eps.append(load_episode(dataset, episode, rng, sampler=sampler))
+        yield collate_episodes(
+            eps, image_size, max_support_keypoints, max_skeleton_edges
+        )

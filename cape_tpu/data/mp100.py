@@ -1,0 +1,157 @@
+"""MP-100 CAPE dataset: per-instance record loading on the host.
+
+TPU-native re-design of the reference `MP100CAPE`
+(`datasets/mp100_cape.py:74-832`): numpy end-to-end (no torch tensors), HWC
+float32 images ready for JAX, fixed-shape tokenized targets. Semantics
+preserved:
+
+- first annotated instance only (`mp100_cape.py:309-327`)
+- crop to bbox, shift keypoints into the bbox frame (`:332-349`)
+- keep ALL keypoints incl. invisible to preserve skeleton index
+  correspondence (`:353-392`)
+- train augmentation / deterministic val resize (`:898-946`)
+- image -> float32 / 255 (+ optional ImageNet normalization) (`:437-444`)
+- bilinear 4-corner tokenization (`:625-832`, see tokenizer.py)
+- missing files / empty annotations raise `ImageNotFoundError` so the
+  episodic sampler can resample (`:229, 422-425`)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+from .augment import resize_with_keypoints, train_augment
+from .coco import COCOIndex
+from .tokenizer import DiscreteTokenizer, tokenize_keypoints
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+class ImageNotFoundError(Exception):
+    """Raised for missing/invalid samples; triggers sampler retry."""
+
+
+class MP100Dataset:
+    """COCO-format MP-100 loader producing numpy records.
+
+    Args:
+        img_folder: image root directory.
+        ann_file: COCO annotation JSON path (or pre-parsed dict).
+        tokenizer: DiscreteTokenizer instance shared with the model.
+        image_size: output square size (reference resizes to 512).
+        split: 'train' enables augmentation; others resize only.
+        image_norm: apply ImageNet mean/std after /255.
+    """
+
+    def __init__(
+        self,
+        img_folder: str,
+        ann_file,
+        tokenizer: DiscreteTokenizer,
+        image_size: int = 512,
+        split: str = "train",
+        image_norm: bool = False,
+        augment: Optional[bool] = None,
+    ):
+        self.root = img_folder
+        self.coco = COCOIndex(ann_file)
+        self.ids = self.coco.get_img_ids()
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.split = split
+        self.image_norm = image_norm
+        self.augment = augment if augment is not None else (split == "train")
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    # ------------------------------------------------------------------
+    def get_record(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        """Load one instance record.
+
+        Returns dict with: image (S,S,3) float32, keypoints (N,2) float64 in
+        resized-image pixels, visibility (N,), category_id, skeleton (raw
+        edge list), bbox_width/height (original pixels), num_keypoints,
+        image_id, seq_data (tokenized target dict).
+        """
+        rng = rng or np.random.default_rng()
+        img_id = self.ids[index]
+        info = self.coco.load_img(img_id)
+        path = os.path.join(self.root, info["file_name"])
+        if not os.path.exists(path):
+            raise ImageNotFoundError(f"Image not found: {path}")
+        img = np.asarray(Image.open(path).convert("RGB"))
+        if img.ndim != 3 or img.shape[0] == 0 or img.shape[1] == 0:
+            raise ImageNotFoundError(f"Invalid image {path}: shape {img.shape}")
+        orig_h, orig_w = img.shape[:2]
+
+        # first valid instance only (`mp100_cape.py:309-327`)
+        ann = None
+        for a in self.coco.load_anns(img_id):
+            if a.get("keypoints") and "bbox" in a:
+                kpts = np.asarray(a["keypoints"], dtype=np.float64).reshape(-1, 3)
+                if (kpts[:, 2] > 0).any():
+                    ann = a
+                    break
+        if ann is None:
+            raise ImageNotFoundError(f"Image {img_id} has no valid annotations")
+
+        kpts3 = np.asarray(ann["keypoints"], dtype=np.float64).reshape(-1, 3)
+        visibility = kpts3[:, 2].astype(np.int32)
+        keypoints = kpts3[:, :2].copy()
+
+        bx, by, bw, bh = ann["bbox"]
+        bx = max(0, int(bx))
+        by = max(0, int(by))
+        bw = min(int(bw), orig_w - bx)
+        bh = min(int(bh), orig_h - by)
+        if bw <= 0 or bh <= 0:
+            raise ImageNotFoundError(f"Image {img_id}: empty bbox crop")
+        crop = img[by : by + bh, bx : bx + bw]
+        keypoints[:, 0] -= bx
+        keypoints[:, 1] -= by
+
+        if self.augment:
+            crop, keypoints = train_augment(crop, keypoints, self.image_size, rng)
+        else:
+            crop, keypoints = resize_with_keypoints(crop, keypoints, self.image_size)
+
+        image = crop.astype(np.float32) / 255.0
+        if self.image_norm:
+            image = (image - IMAGENET_MEAN) / IMAGENET_STD
+
+        category_id = ann.get("category_id", 0)
+        seq_data = tokenize_keypoints(
+            self.tokenizer,
+            keypoints,
+            height=self.image_size,
+            width=self.image_size,
+            visibility=visibility,
+            category_id=category_id,
+        )
+
+        # keypoint/visibility/category alignment guard (`mp100_cape.py:465-491`)
+        expected = self.coco.category_num_keypoints(category_id)
+        if expected is not None and len(keypoints) != expected:
+            raise ImageNotFoundError(
+                f"Image {img_id}: {len(keypoints)} keypoints != category "
+                f"{category_id} expectation {expected}"
+            )
+
+        return {
+            "image": image,
+            "keypoints": keypoints,
+            "visibility": visibility,
+            "category_id": category_id,
+            "skeleton": self.coco.category_skeleton(category_id),
+            "bbox_width": float(bw),
+            "bbox_height": float(bh),
+            "num_keypoints": len(keypoints),
+            "image_id": img_id,
+            "seq_data": seq_data,
+        }

@@ -1,0 +1,132 @@
+"""Deterministic synthetic MP-100 fixture for data-free tests.
+
+The reference's tests require the real MP-100 images and silently skip
+without them (SURVEY.md §4). This module generates a tiny, fully-valid
+MP-100-style dataset tree (COCO JSONs + PNG images + category_splits.json)
+so every pipeline test runs hermetically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+from PIL import Image
+
+
+def make_synthetic_mp100(
+    root: str,
+    num_categories: int = 6,
+    images_per_category: int = 6,
+    keypoint_range=(4, 8),
+    image_size=(96, 128),  # (h, w)
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Write a synthetic MP-100 tree under `root`.
+
+    Layout:
+        root/images/<file>.png
+        root/annotations/mp100_split1_{train,val,test}.json
+        root/category_splits.json
+
+    Categories are split train/val/test (mirroring category_splits.json in
+    the reference); every category appears in exactly one meta-split, and
+    each split's annotation JSON contains only its categories' images (the
+    reference ships one JSON per split too).
+
+    Returns dict with paths: {'root', 'train_ann', 'val_ann', 'test_ann',
+    'split_file', 'img_dir'}.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = image_size
+    img_dir = os.path.join(root, "images")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    categories = []
+    for cid in range(1, num_categories + 1):
+        n_kpts = int(rng.integers(keypoint_range[0], keypoint_range[1] + 1))
+        # chain skeleton, 1-indexed like real MP-100 COCO files
+        skeleton = [[i, i + 1] for i in range(1, n_kpts)]
+        categories.append(
+            {
+                "id": cid,
+                "name": f"synth_cat_{cid}",
+                "keypoints": [f"kp{i}" for i in range(n_kpts)],
+                "skeleton": skeleton,
+            }
+        )
+
+    # meta-split: >=2 categories each for episodic sampling
+    n_train = max(2, num_categories - 4)
+    n_val = max(1, (num_categories - n_train) // 2)
+    cat_ids = [c["id"] for c in categories]
+    split_map = {
+        "train": cat_ids[:n_train],
+        "val": cat_ids[n_train : n_train + n_val],
+        "test": cat_ids[n_train + n_val :],
+    }
+
+    img_id = 0
+    ann_id = 0
+    per_split: Dict[str, dict] = {
+        s: {"images": [], "annotations": [], "categories": categories}
+        for s in ("train", "val", "test")
+    }
+
+    for cat in categories:
+        split = next(s for s, ids in split_map.items() if cat["id"] in ids)
+        n_kpts = len(cat["keypoints"])
+        for _ in range(images_per_category):
+            img_id += 1
+            fname = f"img_{img_id:04d}.png"
+            arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, fname))
+
+            # bbox inside the image with margin
+            bw = int(rng.integers(w // 2, w - 8))
+            bh = int(rng.integers(h // 2, h - 8))
+            bx = int(rng.integers(0, w - bw))
+            by = int(rng.integers(0, h - bh))
+            # keypoints inside the bbox; mostly visible
+            kx = rng.uniform(bx + 1, bx + bw - 1, size=n_kpts)
+            ky = rng.uniform(by + 1, by + bh - 1, size=n_kpts)
+            vis = rng.choice([0, 1, 2], size=n_kpts, p=[0.1, 0.2, 0.7])
+            if (vis > 0).sum() == 0:
+                vis[0] = 2
+            flat = []
+            for x, y, v in zip(kx, ky, vis):
+                flat += [float(x), float(y), int(v)]
+
+            ann_id += 1
+            per_split[split]["images"].append(
+                {"id": img_id, "file_name": fname, "height": h, "width": w}
+            )
+            per_split[split]["annotations"].append(
+                {
+                    "id": ann_id,
+                    "image_id": img_id,
+                    "category_id": cat["id"],
+                    "bbox": [bx, by, bw, bh],
+                    "keypoints": flat,
+                    "num_keypoints": int((vis > 0).sum()),
+                    "iscrowd": 0,
+                    "area": bw * bh,
+                }
+            )
+
+    paths = {"root": root, "img_dir": img_dir}
+    for s in ("train", "val", "test"):
+        p = os.path.join(ann_dir, f"mp100_split1_{s}.json")
+        with open(p, "w") as f:
+            json.dump(per_split[s], f)
+        paths[f"{s}_ann"] = p
+
+    split_file = os.path.join(root, "category_splits.json")
+    with open(split_file, "w") as f:
+        json.dump(split_map, f)
+    paths["split_file"] = split_file
+    return paths

@@ -1,0 +1,147 @@
+"""Data pipeline tests on the synthetic MP-100 fixture: dataset records,
+augmentation keypoint invariants, episodic sampling + fixed-shape collation."""
+
+import numpy as np
+import pytest
+
+from cape_tpu.data.augment import resize_with_keypoints, train_augment
+from cape_tpu.data.episodic import EpisodicSampler, collate_episodes, episode_batches, load_episode
+from cape_tpu.data.mp100 import MP100Dataset
+from cape_tpu.data.synthetic import make_synthetic_mp100
+from cape_tpu.data.tokenizer import DiscreteTokenizer
+
+IMG = 64
+MAXK = 12
+MAXE = 16
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp100")
+    return make_synthetic_mp100(str(root), num_categories=6, images_per_category=6)
+
+
+@pytest.fixture(scope="module")
+def train_ds(fixture_paths):
+    tok = DiscreteTokenizer(num_bins=10, seq_len=24)
+    return MP100Dataset(
+        fixture_paths["img_dir"], fixture_paths["train_ann"], tok,
+        image_size=IMG, split="train",
+    )
+
+
+class TestDataset:
+    def test_record_contract(self, train_ds):
+        rec = train_ds.get_record(0, np.random.default_rng(0))
+        assert rec["image"].shape == (IMG, IMG, 3)
+        assert rec["image"].dtype == np.float32
+        assert 0.0 <= rec["image"].min() and rec["image"].max() <= 1.0
+        n = rec["num_keypoints"]
+        assert rec["keypoints"].shape == (n, 2)
+        assert rec["visibility"].shape == (n,)
+        assert rec["seq_data"]["seq11"].shape == (24,)
+        # all keypoints kept, incl. invisible (index correspondence)
+        assert (rec["visibility"] == 0).sum() >= 0
+
+    def test_val_split_no_augmentation_deterministic(self, fixture_paths):
+        tok = DiscreteTokenizer(num_bins=10, seq_len=24)
+        ds = MP100Dataset(
+            fixture_paths["img_dir"], fixture_paths["val_ann"], tok,
+            image_size=IMG, split="val",
+        )
+        r1 = ds.get_record(0, np.random.default_rng(1))
+        r2 = ds.get_record(0, np.random.default_rng(2))
+        np.testing.assert_array_equal(r1["image"], r2["image"])
+        np.testing.assert_allclose(r1["keypoints"], r2["keypoints"])
+
+
+class TestAugment:
+    def test_keypoint_count_invariant(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
+        kpts = rng.uniform(0, 49, (7, 2))
+        for seed in range(5):
+            out, k = train_augment(img, kpts, IMG, np.random.default_rng(seed))
+            assert out.shape == (IMG, IMG, 3)
+            assert k.shape == (7, 2)  # never dropped
+
+    def test_resize_scales_keypoints(self):
+        img = np.zeros((50, 100, 3), dtype=np.uint8)
+        kpts = np.array([[100.0, 50.0], [0.0, 0.0]])
+        out, k = resize_with_keypoints(img, kpts, IMG)
+        np.testing.assert_allclose(k[0], [IMG, IMG])
+        np.testing.assert_allclose(k[1], [0, 0])
+
+
+class TestEpisodic:
+    def test_sampler_respects_split(self, train_ds, fixture_paths):
+        s = EpisodicSampler(train_ds, fixture_paths["split_file"], "train",
+                            num_queries=2, num_support=1)
+        rng = np.random.default_rng(0)
+        ep = s.sample_episode(rng)
+        assert len(ep["support_indices"]) == 1
+        assert len(ep["query_indices"]) == 2
+        all_idx = ep["support_indices"] + ep["query_indices"]
+        assert len(set(all_idx)) == 3  # without replacement
+        # all indices belong to the episode's category
+        for i in all_idx:
+            anns = train_ds.coco.load_anns(train_ds.ids[i])
+            assert anns[0]["category_id"] == ep["category_id"]
+
+    def test_collate_shapes_and_polarity(self, train_ds, fixture_paths):
+        s = EpisodicSampler(train_ds, fixture_paths["split_file"], "train",
+                            num_queries=2, num_support=1)
+        rng = np.random.default_rng(0)
+        eps = [load_episode(train_ds, s.sample_episode(rng), rng, sampler=s)
+               for _ in range(2)]
+        batch = collate_episodes(eps, IMG, MAXK, MAXE)
+        B = 4  # 2 episodes x 2 queries
+        assert batch["query_images"].shape == (B, IMG, IMG, 3)
+        assert batch["support_coords"].shape == (B, MAXK, 2)
+        assert batch["support_mask"].shape == (B, MAXK)
+        assert batch["skeleton_edges"].shape == (B, MAXE, 2)
+        assert batch["targets"]["seq11"].shape == (B, 24)
+        assert batch["targets"]["target_seq"].shape == (B, 24, 2)
+        # padding positions are masked True (= invalid)
+        nk = batch["num_keypoints"][0]
+        assert batch["support_mask"][0, MAXK - 1] == True  # noqa: E712
+        assert batch["support_coords"].min() >= 0.0
+        assert batch["support_coords"].max() <= 1.0
+        # support repeated per query: rows 0 and 1 share episode 0's support
+        np.testing.assert_array_equal(
+            batch["support_coords"][0], batch["support_coords"][1]
+        )
+        assert batch["category_ids"][0] == batch["category_ids"][1]
+
+    def test_kshot_aggregation(self, train_ds, fixture_paths):
+        s = EpisodicSampler(train_ds, fixture_paths["split_file"], "train",
+                            num_queries=1, num_support=2)
+        rng = np.random.default_rng(3)
+        ep = load_episode(train_ds, s.sample_episode(rng), rng, sampler=s)
+        batch = collate_episodes([ep], IMG, MAXK, MAXE)
+        # mean of two supports
+        c0 = np.zeros((MAXK, 2), np.float32)
+        m = np.ones((2, MAXK), bool)
+        cs = np.zeros((2, MAXK, 2), np.float32)
+        for i, sup in enumerate(ep["supports"]):
+            n = sup["num_keypoints"]
+            cs[i, :n] = np.clip(np.asarray(sup["keypoints"], np.float32) / IMG, 0, 1)
+            m[i, :n] = np.asarray(sup["visibility"][:n]) == 0
+        np.testing.assert_allclose(batch["support_coords"][0], cs.mean(0), atol=1e-6)
+        np.testing.assert_array_equal(batch["support_mask"][0], m.any(0))
+
+    def test_episode_batches_iterator(self, train_ds, fixture_paths):
+        s = EpisodicSampler(train_ds, fixture_paths["split_file"], "train",
+                            num_queries=2, num_support=1)
+        rng = np.random.default_rng(0)
+        batches = list(episode_batches(train_ds, s, 2, 3, IMG, MAXK, MAXE, rng))
+        assert len(batches) == 3
+        for b in batches:
+            assert b["query_images"].shape[0] == 4
+
+    def test_fixed_episodes_are_stable(self, train_ds, fixture_paths):
+        s = EpisodicSampler(train_ds, fixture_paths["split_file"], "train",
+                            num_queries=1, num_support=1)
+        f1 = s.fixed_episodes(4, seed=123)
+        f2 = s.fixed_episodes(4, seed=123)
+        assert f1 == f2
