@@ -1,0 +1,83 @@
+"""Benchmark: 1-shot CAPE eval episode throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: flagship model (ResNet-50, 6+6 layers, d=256, 512x512 images,
+seq_len 200), batch = 1 episode (the reference eval protocol,
+`eval_cape_checkpoint.py:296-317`), full autoregressive decode (encoder once
++ 200 scan steps with KV caches). Reported value = episodes/sec (p50 over
+timed runs); also prints p50 episode latency to stderr.
+
+Baseline: the reference publishes no benchmark numbers (BASELINE.md). Its
+captured training log shows 8-13 s per teacher-forced iteration on Apple
+MPS; an autoregressive eval episode on PyTorch-CPU (200 sequential decoder
+steps with per-step host sync) is estimated at ~2 s => 0.5 episodes/sec.
+vs_baseline = value / 0.5 against that documented estimate (target >= 5x).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EPISODES_PER_SEC = 0.5  # documented PyTorch-CPU estimate (see above)
+
+
+def main():
+    import jax
+
+    from cape_tpu.config import CAPEConfig
+    from cape_tpu.models import CAPE
+    from cape_tpu.models.cape import autoregressive_decode
+
+    cfg = CAPEConfig(dropout=0.0, bf16=True)  # flagship: 512px, 6+6, d=256
+    model = CAPE(cfg)
+    rng = np.random.default_rng(0)
+    B, S, K, E = 1, cfg.image_size, cfg.max_support_keypoints, cfg.max_skeleton_edges
+    images = np.asarray(rng.uniform(size=(B, S, S, 3)), np.float32)
+    sc = np.asarray(rng.uniform(size=(B, K, 2)), np.float32)
+    sm = np.zeros((B, K), bool)
+    sm[:, 17:] = True  # 17-keypoint category
+    edges = np.full((B, E, 2), -1, np.int32)
+    edges[:, :16] = np.stack([np.arange(1, 17), np.arange(2, 18)], -1)
+
+    from cape_tpu.data.tokenizer import DiscreteTokenizer, tokenize_keypoints
+
+    tok = DiscreteTokenizer(cfg.num_bins, cfg.seq_len)
+    t = tokenize_keypoints(tok, rng.uniform(5, S - 5, (17, 2)), S, S)
+    targets = {k: np.stack([v] * B) for k, v in t.items()}
+
+    params = model.init(
+        jax.random.PRNGKey(0), images, sc, sm, edges, targets
+    )
+    decode = jax.jit(
+        lambda p, i, c, m, e: autoregressive_decode(model, p, i, c, m, e)
+    )
+
+    # warmup/compile
+    out = decode(params, images, sc, sm, edges)
+    jax.block_until_ready(out["pred_coords"])
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = decode(params, images, sc, sm, edges)
+        jax.block_until_ready(out["pred_coords"])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    eps = B / p50
+    print(f"p50 episode latency: {p50 * 1000:.1f} ms on "
+          f"{jax.devices()[0].platform}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "episodes_per_sec_1shot_eval",
+        "value": round(eps, 4),
+        "unit": "episodes/sec/chip",
+        "vs_baseline": round(eps / BASELINE_EPISODES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

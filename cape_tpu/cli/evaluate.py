@@ -1,0 +1,117 @@
+"""Checkpoint evaluation CLI — TPU equivalent of
+`scripts/eval_cape_checkpoint.py`.
+
+Loads a self-describing checkpoint (config embedded, parity with the
+reference pickling train args, `eval_cape_checkpoint.py:176-219`), rebuilds
+the model, evaluates fixed episodes on a chosen split with autoregressive
+decoding, prints per-category PCK tables and writes `metrics_{split}.json`.
+
+    python -m cape_tpu.cli.evaluate --checkpoint output/.../best_epoch_X_pck_Y \
+        --dataset_root ... --split test --num_episodes 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("CAPE TPU checkpoint evaluation")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint directory (epoch_N or best_*)")
+    p.add_argument("--dataset_root", default=None,
+                   help="override the checkpoint's dataset_root")
+    p.add_argument("--category_split_file", default=None)
+    p.add_argument("--split", default="test", choices=["val", "test"])
+    p.add_argument("--num_episodes", type=int, default=200,
+                   help="fixed eval episodes (default protocol: 100 val / 200 test)")
+    p.add_argument("--num_support", type=int, default=None,
+                   help="K-shot override (default: checkpoint config)")
+    p.add_argument("--seed", type=int, default=123,
+                   help="episode sampling seed (reference default 123)")
+    p.add_argument("--pck_threshold", type=float, default=0.2)
+    p.add_argument("--output_dir", default=None,
+                   help="where to write metrics json (default: checkpoint dir)")
+    return p
+
+
+def main(argv=None):
+    args = get_args_parser().parse_args(argv)
+
+    import jax
+
+    from ..config import CAPEConfig
+    from ..data.builder import build_mp100_cape, resolve_split_file
+    from ..data.episodic import EpisodicSampler, episode_batches
+    from ..eval.evaluate import evaluate_cape
+    from ..models import CAPE
+    from ..train.state import create_train_state
+    from ..utils.checkpoint import CheckpointManager
+
+    with open(os.path.join(args.checkpoint, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = CAPEConfig.from_json(json.dumps(meta["config"]))
+    if args.dataset_root:
+        cfg = cfg.replace(dataset_root=args.dataset_root)
+    if args.category_split_file:
+        cfg = cfg.replace(category_split_file=args.category_split_file)
+    if args.num_support:
+        cfg = cfg.replace(num_support_per_episode=args.num_support)
+    print(f"Checkpoint: {args.checkpoint} (epoch {meta['epoch']})", flush=True)
+
+    ds = build_mp100_cape(args.split, cfg)
+    split_file = resolve_split_file(cfg)
+    sampler = EpisodicSampler(
+        ds, split_file, args.split, num_queries=1,
+        num_support=cfg.num_support_per_episode,
+    )
+    fixed = sampler.fixed_episodes(args.num_episodes, args.seed)
+
+    # rebuild params structure then restore
+    model = CAPE(cfg)
+    rng = np.random.default_rng(0)
+    probe = next(episode_batches(
+        ds, sampler, 1, 1, cfg.image_size, cfg.max_support_keypoints,
+        cfg.max_skeleton_edges, rng, fixed=fixed,
+    ))
+    variables = model.init(
+        jax.random.PRNGKey(0), probe["query_images"], probe["support_coords"],
+        probe["support_mask"], probe["skeleton_edges"], probe["targets"],
+    )
+    state = create_train_state(cfg, variables, steps_per_epoch=1)
+    mgr = CheckpointManager(os.path.dirname(os.path.abspath(args.checkpoint)))
+    state, _ = mgr.restore(args.checkpoint, state)
+
+    batches = episode_batches(
+        ds, sampler, 1, args.num_episodes, cfg.image_size,
+        cfg.max_support_keypoints, cfg.max_skeleton_edges,
+        np.random.default_rng(args.seed), fixed=fixed,
+    )
+    stats = evaluate_cape(model, state.params, batches, cfg,
+                          pck_threshold=args.pck_threshold, print_freq=20)
+
+    print(f"\n{'=' * 60}")
+    print(f"PCK@{args.pck_threshold} ({args.split}, "
+          f"{cfg.num_support_per_episode}-shot, {args.num_episodes} episodes)")
+    print(f"  overall (micro): {stats['pck']:.2%}")
+    print(f"  mean over categories (macro): {stats['pck_mean_categories']:.2%}")
+    print(f"  correct/visible: {stats['pck_num_correct']}/{stats['pck_num_visible']}")
+    print(f"{'=' * 60}\nPer-category PCK:")
+    for cid, pck in sorted(stats["pck_per_category"].items()):
+        print(f"  category {cid:>4}: {pck:.2%}")
+
+    out_dir = args.output_dir or args.checkpoint
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"metrics_{args.split}.json")
+    with open(out_path, "w") as f:
+        json.dump({k: v for k, v in stats.items()}, f, indent=2, default=float)
+    print(f"\nMetrics written to {out_path}", flush=True)
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,16 @@ class CAPEConfig:
     # ---- pallas kernels ----
     use_pallas_msda: bool = False             # flip when kernel validated on-device
 
+    # ---- memory ----
+    remat_encoder: bool = True                # jax.checkpoint encoder layers
+    remat_decoder: bool = False               # jax.checkpoint decoder layers
+
+    # ---- weights ----
+    resnet_weights: str = ""                  # optional torchvision resnet50 .npz
+
+    # ---- observability ----
+    profile_dir: str = ""                     # xprof trace dir ("" = off)
+
     # ------------------------------------------------------------------
     @property
     def num_bins(self) -> int:
@@ -171,6 +181,7 @@ def tiny_test_config(**overrides) -> CAPEConfig:
         min_decode_len=2,
         bf16=False,
         dropout=0.0,
+        backbone="resnet_tiny",
     )
     base.update(overrides)
     return CAPEConfig(**base)

@@ -1,0 +1,58 @@
+"""Dataset factory — path resolution parity with the reference
+(`datasets/mp100_cape.py:835-962`): images under `<root>/data`, annotations
+searched in data/cleaned_annotations -> clean_annotations -> annotations,
+file `mp100_split{N}_{split}.json`."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from ..config import CAPEConfig
+from .mp100 import MP100Dataset
+from .tokenizer import DiscreteTokenizer
+
+
+def resolve_annotation_file(dataset_root: str, split_num: int, image_set: str) -> str:
+    root = Path(dataset_root).resolve()
+    candidates = [
+        root / "data" / "cleaned_annotations" / f"mp100_split{split_num}_{image_set}.json",
+        root / "clean_annotations" / f"mp100_split{split_num}_{image_set}.json",
+        root / "annotations" / f"mp100_split{split_num}_{image_set}.json",
+    ]
+    for p in candidates:
+        if p.exists():
+            return str(p)
+    raise FileNotFoundError(
+        "Annotation file not found in any location:\n"
+        + "\n".join(f"  - {p}" for p in candidates)
+    )
+
+
+def build_mp100_cape(image_set: str, cfg: CAPEConfig) -> MP100Dataset:
+    ann_file = resolve_annotation_file(cfg.dataset_root, cfg.mp100_split, image_set)
+    img_folder = str(Path(cfg.dataset_root) / "data")
+    if not os.path.isdir(img_folder):
+        img_folder = cfg.dataset_root
+    tokenizer = DiscreteTokenizer(num_bins=cfg.num_bins, seq_len=cfg.seq_len)
+    return MP100Dataset(
+        img_folder=img_folder,
+        ann_file=ann_file,
+        tokenizer=tokenizer,
+        image_size=cfg.image_size,
+        split=image_set,
+        image_norm=cfg.image_norm,
+    )
+
+
+def resolve_split_file(cfg: CAPEConfig) -> str:
+    """category_splits.json: explicit path, else dataset_root, else cwd."""
+    for cand in (
+        cfg.category_split_file,
+        os.path.join(cfg.dataset_root, cfg.category_split_file),
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"category split file not found: {cfg.category_split_file}"
+    )

@@ -26,8 +26,9 @@ def make_synthetic_mp100(
 ) -> Dict[str, str]:
     """Write a synthetic MP-100 tree under `root`.
 
-    Layout:
-        root/images/<file>.png
+    Layout (matches the MP-100 convention `build_mp100_cape` resolves —
+    images under <root>/data, annotations under <root>/annotations):
+        root/data/<file>.png
         root/annotations/mp100_split1_{train,val,test}.json
         root/category_splits.json
 
@@ -41,7 +42,7 @@ def make_synthetic_mp100(
     """
     rng = np.random.default_rng(seed)
     h, w = image_size
-    img_dir = os.path.join(root, "images")
+    img_dir = os.path.join(root, "data")
     ann_dir = os.path.join(root, "annotations")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)

@@ -1,0 +1,145 @@
+"""Autoregressive validation/test evaluation with PCK@0.2.
+
+Parity with `evaluate_cape` / `evaluate_unseen_categories`
+(`models/engine_cape.py:394-1114`):
+
+- predictions are generated autoregressively (never teacher-forced);
+- GT keypoints come from the target sequence via GT token labels, predicted
+  keypoints from PREDICTED token labels (argmax of the class head,
+  `engine_cape.py:643-662` / `util/sequence_utils.py:8-65`);
+- per-sample predictions are trimmed/zero-padded to the category's keypoint
+  count (`engine_cape.py:743-798`);
+- keypoints scale from [0,1] to image pixels (x image_size) before PCK
+  against original-bbox dimensions (`engine_cape.py:815-828`);
+- micro + macro PCK with per-category breakdown.
+
+Deviation (documented): the decode scan always runs seq_len steps; token
+positions after a sample's own EOS are excluded from extraction via the
+`active` mask. The reference can include a few post-EOS garbage tokens when
+a sample under-generates (its extraction has no per-sample active mask) —
+masking is strictly more faithful to "what the model generated".
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import CAPEConfig
+from ..data.token_types import TokenType
+from ..models.cape import CAPE, autoregressive_decode
+from ..utils.logging import MetricLogger
+from .pck import PCKEvaluator
+
+
+def extract_pred_keypoints(
+    pred_logits: np.ndarray,   # (B, L, 3)
+    pred_coords: np.ndarray,   # (B, L, 2)
+    active: np.ndarray,        # (B, L) True while sample unfinished
+    expected_counts: np.ndarray,  # (B,)
+):
+    """Ragged extraction: coords at positions predicted `coord`, in order,
+    trimmed/zero-padded to the category keypoint count."""
+    labels = pred_logits.argmax(-1)
+    out = []
+    for i in range(pred_logits.shape[0]):
+        sel = (labels[i] == TokenType.coord) & active[i]
+        kpts = pred_coords[i][sel]
+        n = int(expected_counts[i])
+        if len(kpts) >= n:
+            kpts = kpts[:n]
+        else:
+            kpts = np.concatenate(
+                [kpts, np.zeros((n - len(kpts), 2), kpts.dtype)], axis=0
+            )
+        out.append(kpts)
+    return out
+
+
+def extract_gt_keypoints(targets: Dict[str, np.ndarray],
+                         expected_counts: np.ndarray):
+    """GT coords via GT token labels (coord positions are the first N)."""
+    coords = np.asarray(targets["target_seq"])
+    labels = np.asarray(targets["token_labels"])
+    out = []
+    for i in range(coords.shape[0]):
+        sel = labels[i] == TokenType.coord
+        out.append(coords[i][sel][: int(expected_counts[i])])
+    return out
+
+
+def evaluate_cape(
+    model: CAPE,
+    params,
+    batches: Iterable[Dict[str, np.ndarray]],
+    cfg: CAPEConfig,
+    pck_threshold: float = 0.2,
+    compute_loss: bool = False,
+    eval_loss_fn=None,
+    print_freq: int = 0,
+) -> Dict:
+    """Run autoregressive eval over episode batches. Returns stats dict with
+    pck, pck_mean_categories, per-category PCK, counts (+ losses)."""
+    evaluator = PCKEvaluator(threshold=pck_threshold)
+    logger = MetricLogger()
+    decode = jax.jit(
+        lambda p, img, sc, sm, se: autoregressive_decode(model, p, img, sc, sm, se)
+    )
+
+    n_batches = 0
+    for batch in batches:
+        out = decode(
+            {"params": params} if "params" not in params else params,
+            batch["query_images"], batch["support_coords"],
+            batch["support_mask"], batch["skeleton_edges"],
+        )
+        pred_logits = np.asarray(out["pred_logits"], np.float32)
+        pred_coords = np.asarray(out["pred_coords"], np.float32)
+        # active mask: positions before each sample's EOS
+        lengths = np.asarray(out["lengths"])
+        active = np.arange(pred_logits.shape[1])[None, :] < lengths[:, None]
+
+        expected = np.asarray(batch["num_keypoints"])
+        preds = extract_pred_keypoints(pred_logits, pred_coords, active, expected)
+        gts = extract_gt_keypoints(batch["targets"], expected)
+
+        bbox = np.asarray(batch["bbox_dims"])
+        vis = np.asarray(batch["gt_visibility"])
+        cids = np.asarray(batch["category_ids"])
+        for i in range(len(preds)):
+            n = int(expected[i])
+            gt = gts[i]
+            if len(gt) < n:  # safety: pad GT like predictions
+                gt = np.concatenate([gt, np.zeros((n - len(gt), 2))], axis=0)
+            evaluator.add_sample(
+                preds[i] * cfg.image_size,
+                gt * cfg.image_size,
+                bbox_width=float(bbox[i, 0]),
+                bbox_height=float(bbox[i, 1]),
+                category_id=int(cids[i]),
+                visibility=vis[i, :n],
+            )
+
+        if compute_loss and eval_loss_fn is not None:
+            losses = eval_loss_fn(params, batch)
+            logger.update(**{k: float(v) for k, v in losses.items()})
+        n_batches += 1
+        if print_freq and n_batches % print_freq == 0:
+            r = evaluator.get_results()
+            print(f"[eval] batch {n_batches}: PCK so far "
+                  f"{r['pck_overall']:.2%}", flush=True)
+
+    results = evaluator.get_results()
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    stats.update({
+        "pck": results["pck_overall"],
+        "pck_mean_categories": results["mean_pck_categories"],
+        "pck_per_category": results["pck_per_category"],
+        "pck_num_correct": results["total_correct"],
+        "pck_num_visible": results["total_visible"],
+        "num_images": results["num_images"],
+    })
+    stats.setdefault("loss", 0.0)
+    return stats

@@ -1,0 +1,3 @@
+from .msda import ms_deform_attn_core
+
+__all__ = ["ms_deform_attn_core"]

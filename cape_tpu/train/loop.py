@@ -1,0 +1,175 @@
+"""Full episodic training loop: epochs, validation PCK, early stopping,
+best-checkpoint tracking, resume.
+
+Parity with the reference epoch loop (`train_cape_episodic.py:722-978`):
+- per-epoch episodic training with fresh sampled episodes;
+- per-epoch autoregressive validation on fixed episodes (stable curves);
+- best-PCK checkpoints + last-N retention + patience early stopping;
+- NaN-loss hard exit (`engine_cape.py:206-209`);
+- host PRNG state saved for exact resume (§5.4).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import CAPEConfig
+from ..data.episodic import EpisodicSampler, episode_batches
+from ..data.mp100 import MP100Dataset
+from ..eval.evaluate import evaluate_cape
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.checkpoint import CheckpointManager, numpy_rng_state
+from ..utils.logging import MetricLogger
+from .state import create_train_state
+from .train_step import make_eval_loss_fn, make_train_step
+
+
+def train_loop(
+    model,
+    cfg: CAPEConfig,
+    train_ds: MP100Dataset,
+    val_ds: MP100Dataset,
+    category_split_file: str,
+    resume: Optional[str] = None,
+    print_freq: int = 10,
+) -> Dict:
+    """Run the full training. Returns final stats dict."""
+    sampler = EpisodicSampler(
+        train_ds, category_split_file, "train",
+        num_queries=cfg.num_queries_per_episode,
+        num_support=cfg.num_support_per_episode,
+    )
+    val_sampler = EpisodicSampler(
+        val_ds, category_split_file, "val",
+        num_queries=1, num_support=cfg.num_support_per_episode,
+    )
+    fixed_val = (
+        val_sampler.fixed_episodes(cfg.val_episodes_per_epoch, cfg.val_seed)
+        if cfg.fixed_val_episodes else None
+    )
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    steps_per_epoch = max(cfg.episodes_per_epoch // cfg.batch_size, 1)
+
+    rng = np.random.default_rng(cfg.seed)
+    jrng = jax.random.PRNGKey(cfg.seed)
+
+    # init params on a probe batch
+    probe = next(episode_batches(
+        train_ds, sampler, cfg.batch_size, 1, cfg.image_size,
+        cfg.max_support_keypoints, cfg.max_skeleton_edges, rng,
+    ))
+    variables = model.init(
+        jax.random.PRNGKey(cfg.seed), probe["query_images"],
+        probe["support_coords"], probe["support_mask"],
+        probe["skeleton_edges"], probe["targets"],
+    )
+    if cfg.resnet_weights:
+        from ..models.backbone import load_torch_resnet50_npz
+
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["backbone"] = load_torch_resnet50_npz(
+            variables["params"]["backbone"], cfg.resnet_weights
+        )
+        print(f"Loaded ImageNet backbone weights from {cfg.resnet_weights}",
+              flush=True)
+    state = create_train_state(cfg, variables, steps_per_epoch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"Model parameters: {n_params:,}", flush=True)
+
+    ckpt = CheckpointManager(cfg.output_dir)
+    start_epoch, best_pck, patience = 0, 0.0, 0
+    if resume:
+        state, meta = ckpt.restore(resume, state)
+        start_epoch = meta["epoch"] + 1
+        best_pck = meta.get("best_pck", 0.0)
+        patience = meta.get("patience", 0)
+        if meta.get("rng_state"):
+            rng.bit_generator.state = meta["rng_state"]
+        print(f"Resumed from {resume} at epoch {start_epoch} "
+              f"(best PCK {best_pck:.2%})", flush=True)
+
+    state = replicate(state, mesh)
+    train_step = make_train_step(model, cfg, steps_per_epoch)
+    eval_loss_fn = make_eval_loss_fn(model, cfg)
+
+    history = []
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        logger = MetricLogger()
+        batches = episode_batches(
+            train_ds, sampler, cfg.batch_size, steps_per_epoch,
+            cfg.image_size, cfg.max_support_keypoints,
+            cfg.max_skeleton_edges, rng,
+        )
+        for it, batch in enumerate(logger.log_every(
+                batches, print_freq, header=f"Epoch [{epoch}]")):
+            # xprof tracing of steps 2-4 of the first epoch (jax.profiler;
+            # TPU equivalent of the reference's MetricLogger timings +
+            # cudnn_benchmark knob, SURVEY.md §5.1)
+            if cfg.profile_dir and epoch == start_epoch and it == 2:
+                jax.profiler.start_trace(cfg.profile_dir)
+            batch = shard_batch(batch, mesh)
+            jrng, step_rng = jax.random.split(jrng)
+            state, metrics = train_step(state, batch, step_rng)
+            if cfg.profile_dir and epoch == start_epoch and it == 4:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+            total = float(metrics["total"])
+            if math.isnan(total):
+                raise RuntimeError(
+                    f"NaN loss at epoch {epoch} iter {it} — aborting "
+                    f"(parity with engine_cape.py:206-209)"
+                )
+            logger.update(
+                loss=total, loss_ce=float(metrics["loss_ce"]),
+                loss_coords=float(metrics["loss_coords"]),
+                grad_norm=float(metrics["grad_norm"]),
+            )
+
+        # ---- validation ----
+        val_batches = episode_batches(
+            val_ds, val_sampler, 1, cfg.val_episodes_per_epoch,
+            cfg.image_size, cfg.max_support_keypoints,
+            cfg.max_skeleton_edges, np.random.default_rng(cfg.val_seed),
+            fixed=fixed_val,
+        )
+        val_stats = evaluate_cape(
+            model, state.params, map(lambda b: shard_batch(b, mesh), val_batches),
+            cfg, compute_loss=True, eval_loss_fn=eval_loss_fn,
+        )
+        pck = val_stats["pck"]
+        train_loss = logger.meters["loss"].global_avg
+        print(
+            f"Epoch {epoch}: train loss {train_loss:.4f} | val PCK@0.2 "
+            f"{pck:.2%} (macro {val_stats['pck_mean_categories']:.2%}) | "
+            f"{time.time() - t0:.1f}s", flush=True,
+        )
+        history.append({"epoch": epoch, "train_loss": train_loss, "pck": pck})
+
+        # ---- checkpointing / early stopping ----
+        improved = pck > best_pck
+        if improved:
+            best_pck = pck
+            patience = 0
+            ckpt.save_best(state, epoch, pck, cfg, best_pck, patience,
+                           rng_state=numpy_rng_state(rng))
+        else:
+            patience += 1
+        ckpt.save_epoch(state, epoch, cfg, best_pck, patience,
+                        rng_state=numpy_rng_state(rng),
+                        extra={"val_stats": {k: v for k, v in val_stats.items()
+                                             if np.isscalar(v)}})
+        if cfg.early_stopping_patience and patience >= cfg.early_stopping_patience:
+            print(f"Early stopping at epoch {epoch} "
+                  f"(no PCK improvement for {patience} epochs)", flush=True)
+            break
+
+    return {"best_pck": best_pck, "history": history, "params": state.params}

@@ -1,0 +1,135 @@
+"""Train state, optimizer with parameter groups, LR schedules.
+
+Parity targets from the reference optimizer setup
+(`models/train_cape_episodic.py:527-608`):
+- AdamW, weight decay 1e-4;
+- parameter groups: backbone at `lr_backbone` (1e-5), deformable
+  `sampling_offsets` projections at `lr * lr_linear_proj_mult` (0.1x),
+  everything else at `lr` (1e-4);
+- frozen batch-norm affines are never optimized (they are buffers in the
+  reference; here an explicit `set_to_zero` group);
+- schedules: multistep(0.1 @ lr_drop) | cosine warm restarts
+  (T_0, T_mult, eta_min) | onecycle, each with linear warmup epochs;
+- global-norm clip 0.1, gradient accumulation via `optax.MultiSteps`
+  (replaces the hand-rolled loop in `engine_cape.py:211-258`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import CAPEConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: CAPEConfig, base_lr: float, steps_per_epoch: int):
+    """Per-step schedule: linear warmup then the configured scheduler."""
+    warmup_steps = cfg.warmup_epochs * steps_per_epoch
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        epoch = step / steps_per_epoch
+
+        if cfg.scheduler == "multistep":
+            factor = jnp.asarray(1.0, jnp.float32)
+            for e in cfg.lr_drop_epochs:
+                factor = factor * jnp.where(epoch >= e, 0.1, 1.0)
+            lr = base_lr * factor
+        elif cfg.scheduler == "onecycle":
+            total = max(cfg.epochs * steps_per_epoch, 1)
+            pct = jnp.clip(step / total, 0.0, 1.0)
+            lr = cfg.eta_min + (base_lr - cfg.eta_min) * 0.5 * (
+                1 + jnp.cos(math.pi * pct)
+            )
+        else:  # cosine_warmrestarts (default)
+            # torch CosineAnnealingWarmRestarts: periods T_0, T_0*T_mult, ...
+            t0, tm = float(cfg.t0), float(cfg.t_mult)
+            e = epoch
+            if tm == 1.0:
+                t_cur = jnp.mod(e, t0)
+                t_i = t0
+            else:
+                # closed form: find restart cycle n with
+                # sum_{k<n} t0*tm^k <= e
+                # epsilon guards exact restart boundaries against fp error
+                # (log(4)/log(2) can evaluate to 1.9999...)
+                n = jnp.floor(
+                    jnp.log(jnp.maximum(e / t0 * (tm - 1) + 1, 1.0))
+                    / jnp.log(tm) + 1e-6
+                )
+                start = t0 * (tm**n - 1) / (tm - 1)
+                t_i = t0 * tm**n
+                t_cur = e - start
+            lr = cfg.eta_min + (base_lr - cfg.eta_min) * 0.5 * (
+                1 + jnp.cos(math.pi * t_cur / t_i)
+            )
+
+        if warmup_steps > 0:
+            warm = jnp.clip((step + 1) / warmup_steps, 0.0, 1.0)
+            lr = lr * warm
+        return lr
+
+    return schedule
+
+
+def _param_labels(params) -> Dict:
+    """Label each leaf: frozen | backbone | offsets | base."""
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        joined = "/".join(str(p) for p in path)
+        if "frozen_affine" in joined:
+            labels[path] = "frozen"
+        elif "backbone" in joined:
+            labels[path] = "backbone"
+        elif "sampling_offsets" in joined:
+            labels[path] = "offsets"
+        else:
+            labels[path] = "base"
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def make_optimizer(cfg: CAPEConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    def adamw(lr):
+        return optax.adamw(
+            make_lr_schedule(cfg, lr, steps_per_epoch),
+            weight_decay=cfg.weight_decay,
+        )
+
+    groups = optax.multi_transform(
+        {
+            "base": adamw(cfg.lr),
+            "backbone": adamw(cfg.lr_backbone),
+            "offsets": adamw(cfg.lr * cfg.lr_linear_proj_mult),
+            "frozen": optax.set_to_zero(),
+        },
+        _param_labels,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), groups)
+    if cfg.accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
+    return tx
+
+
+def create_train_state(cfg: CAPEConfig, variables, steps_per_epoch: int) -> TrainState:
+    """Build state from `model.init(...)` output. `state.params` is the raw
+    param dict (apply with `{'params': state.params}`)."""
+    params = variables["params"] if "params" in variables else variables
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )

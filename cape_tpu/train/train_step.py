@@ -1,0 +1,76 @@
+"""Jitted train / eval-loss steps (data-parallel over the mesh).
+
+Replaces `train_one_epoch_episodic`'s inner loop (`engine_cape.py:48-301`):
+forward (teacher forced) -> weighted loss -> grad -> clip -> AdamW, all one
+XLA program. Batches arrive sharded on the episode axis; params are
+replicated, so XLA inserts the gradient all-reduce over ICI automatically
+(the TPU-native `reduce_dict`). NaN guarding (`engine_cape.py:206-209`) is
+host-side in the training loop via the returned loss scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import CAPEConfig
+from ..losses import cape_criterion
+from ..models.cape import CAPE
+from .state import TrainState, make_optimizer
+
+
+def _forward_losses(model: CAPE, cfg: CAPEConfig, params, batch,
+                    dropout_rng=None) -> Dict[str, jnp.ndarray]:
+    deterministic = dropout_rng is None
+    rngs = None if deterministic else {"dropout": dropout_rng}
+    outputs = model.apply(
+        {"params": params},
+        batch["query_images"],
+        batch["support_coords"],
+        batch["support_mask"],
+        batch["skeleton_edges"],
+        batch["targets"],
+        deterministic=deterministic,
+        rngs=rngs,
+    )
+    return cape_criterion(outputs, batch["targets"], cfg)
+
+
+def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
+                    ) -> Callable[[TrainState, Dict, jax.Array],
+                                  Tuple[TrainState, Dict]]:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    def loss_fn(params, batch, rng):
+        losses = _forward_losses(model, cfg, params, batch, dropout_rng=rng)
+        return losses["total"], losses
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_loss_fn(model: CAPE, cfg: CAPEConfig):
+    """Jitted teacher-forced loss on a validation batch (no dropout)."""
+
+    @jax.jit
+    def eval_loss(params, batch):
+        return _forward_losses(model, cfg, params, batch)
+
+    return eval_loss

@@ -1,0 +1,147 @@
+"""Orbax checkpointing with best-PCK tracking and retention.
+
+Parity with the reference checkpoint subsystem — its most developed
+component (`train_cape_episodic.py:853-959`, SURVEY.md §5.4):
+- per-epoch checkpoints carrying model/optimizer/step/epoch, host PRNG
+  state, best-PCK + patience counters, and the full config (self-describing
+  checkpoints, like the reference pickling `args`);
+- separate best-PCK checkpoints named with epoch + PCK;
+- retention of the last 3 of each kind (`cleanup_old_checkpoints`,
+  `train_cape_episodic.py:49-83`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import CAPEConfig
+
+_EPOCH_RE = re.compile(r"^epoch_(\d+)$")
+_BEST_RE = re.compile(r"^best_epoch_(\d+)_pck_([0-9.]+)$")
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str, keep: int = 3):
+        self.dir = os.path.abspath(output_dir)
+        self.keep = keep
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def _save(self, name: str, state, meta: Dict[str, Any]):
+        path = os.path.join(self.dir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        tree = {"step": state.step, "params": state.params,
+                "opt_state": state.opt_state}
+        self._ckptr.save(os.path.join(path, "state"), tree)
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def save_epoch(self, state, epoch: int, cfg: CAPEConfig,
+                   best_pck: float, patience: int,
+                   rng_state: Optional[dict] = None,
+                   extra: Optional[Dict] = None):
+        meta = {
+            "epoch": epoch,
+            "best_pck": best_pck,
+            "patience": patience,
+            "config": json.loads(cfg.to_json()),
+            "rng_state": rng_state,
+            "extra": extra or {},
+        }
+        self._save(f"epoch_{epoch}", state, meta)
+        self._cleanup(_EPOCH_RE, key=lambda m: int(m.group(1)))
+
+    def save_best(self, state, epoch: int, pck: float, cfg: CAPEConfig,
+                  best_pck: float, patience: int,
+                  rng_state: Optional[dict] = None):
+        meta = {
+            "epoch": epoch,
+            "pck": pck,
+            "best_pck": best_pck,
+            "patience": patience,
+            "config": json.loads(cfg.to_json()),
+            "rng_state": rng_state,
+            "extra": {},
+        }
+        self._save(f"best_epoch_{epoch}_pck_{pck:.4f}", state, meta)
+        self._cleanup(_BEST_RE, key=lambda m: int(m.group(1)))
+
+    def _cleanup(self, pattern, key):
+        entries = []
+        for name in os.listdir(self.dir):
+            m = pattern.match(name)
+            if m:
+                entries.append((key(m), name))
+        entries.sort()
+        for _, name in entries[: -self.keep] if len(entries) > self.keep else []:
+            shutil.rmtree(os.path.join(self.dir, name))
+
+    # ------------------------------------------------------------------
+    def list_checkpoints(self):
+        return sorted(
+            n for n in os.listdir(self.dir)
+            if _EPOCH_RE.match(n) or _BEST_RE.match(n)
+        )
+
+    def latest(self) -> Optional[str]:
+        best = None
+        for name in os.listdir(self.dir):
+            m = _EPOCH_RE.match(name)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), name)
+        return os.path.join(self.dir, best[1]) if best else None
+
+    def best(self) -> Optional[str]:
+        top = None
+        for name in os.listdir(self.dir):
+            m = _BEST_RE.match(name)
+            if m and (top is None or float(m.group(2)) > top[0]):
+                top = (float(m.group(2)), name)
+        return os.path.join(self.dir, top[1]) if top else None
+
+    def restore(self, path: str, target_state) -> Tuple[Any, Dict]:
+        """Restore into the structure of `target_state` (a freshly-created
+        TrainState). Returns (state, meta)."""
+        from ..train.state import TrainState
+
+        tree = {"step": target_state.step, "params": target_state.params,
+                "opt_state": target_state.opt_state}
+
+        def to_abstract(x):
+            # manual ShapeDtypeStruct conversion: orbax's helper chokes on
+            # exotic array leaves (e.g. jax mutable/typed arrays)
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype)
+            return x
+
+        abstract = jax.tree_util.tree_map(to_abstract, tree)
+        restored = self._ckptr.restore(os.path.join(path, "state"), abstract)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        state = TrainState(step=restored["step"], params=restored["params"],
+                           opt_state=restored["opt_state"])
+        return state, meta
+
+
+def numpy_rng_state(rng: np.random.Generator) -> dict:
+    """JSON-serializable host PRNG state (parity with the reference saving
+    torch/numpy/python RNG states, `train_cape_episodic.py:883-890`)."""
+    state = rng.bit_generator.state
+    return json.loads(json.dumps(state, default=int))
+
+
+def restore_numpy_rng(state: dict) -> np.random.Generator:
+    rng = np.random.default_rng()
+    rng.bit_generator.state = state
+    return rng

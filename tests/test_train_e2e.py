@@ -1,0 +1,56 @@
+"""End-to-end smoke: full training loop on the synthetic fixture -> epoch +
+best checkpoints -> autoregressive eval -> resume. The TPU analogue of the
+reference's `TEST_CAPE.sh` 1-epoch CPU smoke (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cape_tpu.config import tiny_test_config
+from cape_tpu.data.mp100 import MP100Dataset
+from cape_tpu.data.synthetic import make_synthetic_mp100
+from cape_tpu.data.tokenizer import DiscreteTokenizer
+from cape_tpu.models import CAPE
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp100_e2e")
+    paths = make_synthetic_mp100(str(root), num_categories=6,
+                                 images_per_category=6)
+    cfg = tiny_test_config(
+        episodes_per_epoch=2, val_episodes_per_epoch=2, batch_size=1,
+        epochs=1, early_stopping_patience=0, num_queries_per_episode=1,
+        output_dir=str(root / "out"), dataset_root=str(root),
+        category_split_file=paths["split_file"],
+    )
+    tok = DiscreteTokenizer(cfg.num_bins, cfg.seq_len)
+    train_ds = MP100Dataset(paths["img_dir"], paths["train_ann"], tok,
+                            image_size=cfg.image_size, split="train")
+    val_ds = MP100Dataset(paths["img_dir"], paths["val_ann"], tok,
+                          image_size=cfg.image_size, split="val")
+    return cfg, train_ds, val_ds, paths
+
+
+def test_train_eval_checkpoint_resume(env):
+    from cape_tpu.train.loop import train_loop
+    from cape_tpu.utils.checkpoint import CheckpointManager
+
+    cfg, train_ds, val_ds, paths = env
+    model = CAPE(cfg)
+    result = train_loop(model, cfg, train_ds, val_ds, paths["split_file"],
+                        print_freq=0)
+    assert "best_pck" in result and 0.0 <= result["best_pck"] <= 1.0
+    assert len(result["history"]) == 1
+    assert np.isfinite(result["history"][0]["train_loss"])
+
+    mgr = CheckpointManager(cfg.output_dir)
+    names = mgr.list_checkpoints()
+    assert any(n.startswith("epoch_") for n in names)
+    # resume from latest for one more epoch
+    cfg2 = cfg.replace(epochs=2)
+    result2 = train_loop(CAPE(cfg2), cfg2, train_ds, val_ds,
+                         paths["split_file"], resume=mgr.latest(),
+                         print_freq=0)
+    assert result2["history"][0]["epoch"] == 1  # continued, not restarted
