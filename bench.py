@@ -53,8 +53,12 @@ def main():
     params = model.init(
         jax.random.PRNGKey(0), images, sc, sm, edges, targets
     )
+    # force_length=18 makes every episode generate a trained-model-
+    # representative 17-keypoint sequence + EOS even with random params
+    # (otherwise early random EOS would flatter the number).
     decode = jax.jit(
-        lambda p, i, c, m, e: autoregressive_decode(model, p, i, c, m, e)
+        lambda p, i, c, m, e: autoregressive_decode(
+            model, p, i, c, m, e, force_length=18)
     )
 
     # warmup/compile

@@ -199,6 +199,7 @@ def autoregressive_decode(
     support_coords: jnp.ndarray,
     support_mask: jnp.ndarray,
     skeleton_edges: jnp.ndarray,
+    force_length: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fused on-device autoregressive generation.
 
@@ -268,6 +269,10 @@ def autoregressive_decode(
         # token-type branching (`roomformer_v2.py:530-597`):
         # EOS before min_len is treated as a coordinate
         is_eos = (cls == TokenType.eos) & (i >= cfg.min_decode_len)
+        if force_length is not None:
+            # benchmark/debug knob: force every sample to generate exactly
+            # force_length tokens regardless of predicted token types
+            is_eos = (is_eos & False) | (i >= force_length - 1)
         is_coord = (cls == TokenType.coord) | (
             (cls == TokenType.eos) & (i < cfg.min_decode_len)
         )
