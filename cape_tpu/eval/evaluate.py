@@ -13,11 +13,16 @@ Parity with `evaluate_cape` / `evaluate_unseen_categories`
   against original-bbox dimensions (`engine_cape.py:815-828`);
 - micro + macro PCK with per-category breakdown.
 
-Deviation (documented): the decode scan always runs seq_len steps; token
-positions after a sample's own EOS are excluded from extraction via the
-`active` mask. The reference can include a few post-EOS garbage tokens when
-a sample under-generates (its extraction has no per-sample active mask) —
-masking is strictly more faithful to "what the model generated".
+Deviations (documented):
+- token positions after a sample's own EOS are excluded from extraction via
+  the `active` mask. The reference can include a few post-EOS garbage
+  tokens when a sample under-generates (its extraction has no per-sample
+  active mask) — masking is strictly more faithful to "what the model
+  generated".
+- the optional validation loss is computed teacher-forced (standard
+  practice); the reference pads the autoregressive outputs to seq_len and
+  scores those against the targets (`engine_cape.py:535-582`), which mixes
+  generation drift into the loss. Early stopping keys on PCK in both.
 """
 
 from __future__ import annotations

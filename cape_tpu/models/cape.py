@@ -82,7 +82,8 @@ class CAPE(nn.Module):
             num_layers=cfg.enc_layers, d_model=cfg.hidden_dim,
             d_ffn=cfg.dim_feedforward, dropout=cfg.dropout,
             n_levels=cfg.num_feature_levels, n_heads=cfg.nheads,
-            n_points=cfg.enc_n_points, remat=cfg.remat_encoder, dtype=dtype,
+            n_points=cfg.enc_n_points, remat=cfg.remat_encoder,
+            use_pallas=cfg.use_pallas_msda, dtype=dtype,
         )
         self.decoder = Decoder(
             num_layers=cfg.dec_layers, d_model=cfg.hidden_dim,
@@ -90,7 +91,8 @@ class CAPE(nn.Module):
             n_levels=cfg.num_feature_levels, n_heads=cfg.nheads,
             n_points=cfg.dec_n_points, vocab_size=cfg.token_vocab_size,
             seq_len=cfg.seq_len, num_classes=cfg.num_token_classes,
-            pad_id=cfg.num_bins * cfg.num_bins + 3, dtype=dtype,
+            pad_id=cfg.num_bins * cfg.num_bins + 3,
+            use_pallas=cfg.use_pallas_msda, dtype=dtype,
         )
         if cfg.use_geometric_encoder:
             self.support_encoder = GeometricSupportEncoder(

@@ -74,6 +74,7 @@ class DecoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -89,6 +90,7 @@ class DecoderLayer(nn.Module):
         self.norm_support = nn.LayerNorm(dtype=self.dtype)
         self.cross_attn = MSDeformAttn(self.d_model, self.n_levels,
                                        self.n_heads, self.n_points,
+                                       use_pallas=self.use_pallas,
                                        dtype=self.dtype)
         self.norm1 = nn.LayerNorm(dtype=self.dtype)
         self.linear1 = nn.Dense(self.d_ffn, dtype=self.dtype)
@@ -194,6 +196,7 @@ class Decoder(nn.Module):
     seq_len: int = 200
     num_classes: int = 3
     pad_id: int = 1939
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -213,6 +216,7 @@ class Decoder(nn.Module):
         self.layers = [
             DecoderLayer(self.d_model, self.d_ffn, self.dropout,
                          self.n_levels, self.n_heads, self.n_points,
+                         use_pallas=self.use_pallas,
                          dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

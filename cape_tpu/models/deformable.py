@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import ms_deform_attn_core
+from ..ops import ms_deform_attn
 
 
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
@@ -48,6 +48,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -107,9 +108,9 @@ class MSDeformAttn(nn.Module):
         loc = reference_points[:, :, None, :, None, :] + offsets / normalizer[
             None, None, None, :, None, :
         ]
-        out = ms_deform_attn_core(
+        out = ms_deform_attn(
             value, spatial_shapes, loc.astype(jnp.float32),
-            attn.astype(value.dtype),
+            attn.astype(value.dtype), use_pallas=self.use_pallas,
         )
         return self.output_proj(out)
 
@@ -123,13 +124,15 @@ class DeformableEncoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  deterministic=True):
         attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
-                            self.n_points, dtype=self.dtype, name="self_attn")
+                            self.n_points, use_pallas=self.use_pallas,
+                            dtype=self.dtype, name="self_attn")
         value = attn.project_value(src)
         src2 = attn(src + pos, reference_points, value, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
@@ -169,6 +172,7 @@ class DeformableEncoder(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     remat: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -187,7 +191,7 @@ class DeformableEncoder(nn.Module):
         for i in range(self.num_layers):
             out = layer_cls(
                 self.d_model, self.d_ffn, self.dropout, self.n_levels,
-                self.n_heads, self.n_points, dtype=self.dtype,
-                name=f"layer_{i}",
+                self.n_heads, self.n_points, use_pallas=self.use_pallas,
+                dtype=self.dtype, name=f"layer_{i}",
             )(out, pos, ref, spatial_shapes, deterministic)
         return out

@@ -86,3 +86,40 @@ def ms_deform_attn_core(
 
     # (B, H, Lq, Dh) -> (B, Lq, H*Dh)
     return jnp.swapaxes(out, 1, 2).reshape(B, Lq, H * Dh)
+
+
+def ms_deform_attn(
+    value, spatial_shapes, sampling_locations, attention_weights,
+    use_pallas: bool = False,
+):
+    """Backend dispatch. `use_pallas=True` runs the Pallas kernel forward
+    with the XLA core's VJP for training (both compute the same function;
+    see msda_pallas.py). Pallas is OPT-IN only — on some backends (e.g. the
+    axon remote-compile relay) Mosaic compilation hangs, so there is no
+    auto-probe in the hot path."""
+    if not use_pallas:
+        return ms_deform_attn_core(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+
+    from .msda_pallas import ms_deform_attn_pallas
+
+    shapes = tuple(tuple(s) for s in spatial_shapes)
+
+    @jax.custom_vjp
+    def f(v, loc, attn):
+        return ms_deform_attn_pallas(v, shapes, loc, attn)
+
+    def f_fwd(v, loc, attn):
+        return f(v, loc, attn), (v, loc, attn)
+
+    def f_bwd(res, g):
+        v, loc, attn = res
+        _, vjp = jax.vjp(
+            lambda v_, l_, a_: ms_deform_attn_core(v_, shapes, l_, a_),
+            v, loc, attn,
+        )
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(value, sampling_locations, attention_weights)

@@ -53,8 +53,13 @@ def _msda_kernel(loc_ref, attn_ref, valid_ref, value_ref, out_ref, *,
     w = attn_ref[0] * valid_ref[0]         # (Q, K4)
     val = value_ref[0]                     # (S, Dh)
     q, k4 = idx.shape
-    gathered = jnp.take(val, idx.reshape(-1), axis=0)  # (Q*K4, Dh)
-    gathered = gathered.reshape(q, k4, -1)
+    dh = val.shape[-1]
+    # Mosaic's dynamic gather wants per-lane indices: broadcast the row
+    # index across the lane (feature) dimension and take_along_axis on the
+    # sublane dimension.
+    idx_flat = jnp.broadcast_to(idx.reshape(q * k4, 1), (q * k4, dh))
+    gathered = jnp.take_along_axis(val, idx_flat, axis=0)  # (Q*K4, Dh)
+    gathered = gathered.reshape(q, k4, dh)
     out_ref[0] = jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=1)
 
 
@@ -64,6 +69,7 @@ def ms_deform_attn_pallas(
     sampling_locations: jnp.ndarray,       # (B, Lq, H, L, P, 2)
     attention_weights: jnp.ndarray,        # (B, Lq, H, L, P)
     block_q: int = 256,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas path. Index/weight prep happens in XLA (cheap, fusable);
     the gather+blend inner loop runs in the kernel."""
@@ -130,6 +136,7 @@ def ms_deform_attn_pallas(
         ],
         out_specs=pl.BlockSpec((1, block_q, Dh), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(idx_bh, w_bh, valid_bh, value_bh)
 
     out = out[:, :Lq].reshape(B, H, Lq, Dh)
