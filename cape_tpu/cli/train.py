@@ -92,6 +92,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="optional .npz of a torchvision resnet50 state_dict")
     p.add_argument("--profile_dir", default="",
                    help="write an xprof trace of early train steps here")
+    # debug overfit mode (reference --debug_overfit_category)
+    p.add_argument("--debug_overfit_category", type=int, default=-1)
+    p.add_argument("--debug_overfit_episodes", type=int, default=10)
+    p.add_argument("--debug_single_image", action="store_true", default=False)
+    p.add_argument("--disable_augment", action="store_true", default=False)
     return p
 
 

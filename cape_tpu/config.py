@@ -119,6 +119,12 @@ class CAPEConfig:
     # ---- observability ----
     profile_dir: str = ""                     # xprof trace dir ("" = off)
 
+    # ---- debug / overfit (train_cape_episodic.py:120-126) ----
+    debug_overfit_category: int = -1          # -1 = off; else single category id
+    debug_overfit_episodes: int = 10
+    debug_single_image: bool = False          # support == query image
+    disable_augment: bool = False             # turn off train augmentation
+
     # ------------------------------------------------------------------
     @property
     def num_bins(self) -> int:

@@ -42,6 +42,7 @@ def build_mp100_cape(image_set: str, cfg: CAPEConfig) -> MP100Dataset:
         image_size=cfg.image_size,
         split=image_set,
         image_norm=cfg.image_norm,
+        augment=False if cfg.disable_augment else None,
     )
 
 

@@ -41,15 +41,28 @@ class EpisodicSampler:
         split: str = "train",
         num_queries: int = 2,
         num_support: int = 1,
+        overfit_category: int = -1,
+        single_image: bool = False,
     ):
+        """`overfit_category`/`single_image` implement the reference's debug
+        overfit mode (`train_cape_episodic.py:120-126`,
+        `episodic_sampler.py:185-233`): restrict episodes to one category,
+        optionally reusing ONE image as both support and query (the
+        single-image overfit acceptance test, README.md:212-214)."""
         self.dataset = dataset
         self.num_queries = num_queries
         self.num_support = num_support
-        with open(category_split_file) as f:
-            splits = json.load(f)
-        if split not in splits:
-            raise ValueError(f"Unknown split {split!r}; file has {list(splits)}")
-        requested = list(splits[split])
+        self.single_image = single_image
+        if overfit_category >= 0:
+            requested = [overfit_category]
+        else:
+            with open(category_split_file) as f:
+                splits = json.load(f)
+            if split not in splits:
+                raise ValueError(
+                    f"Unknown split {split!r}; file has {list(splits)}"
+                )
+            requested = list(splits[split])
 
         cat_to_idx = defaultdict(list)
         for idx, img_id in enumerate(dataset.ids):
@@ -58,7 +71,7 @@ class EpisodicSampler:
                 cid = anns[0].get("category_id", 0)
                 if cid in requested:
                     cat_to_idx[cid].append(idx)
-        min_examples = num_queries + num_support
+        min_examples = 1 if single_image else (num_queries + num_support)
         self.category_to_indices = dict(cat_to_idx)
         self.categories = [
             c for c in requested if len(cat_to_idx.get(c, ())) >= min_examples
@@ -71,6 +84,13 @@ class EpisodicSampler:
     def sample_episode(self, rng: np.random.Generator) -> Dict:
         cid = self.categories[int(rng.integers(len(self.categories)))]
         pool = self.category_to_indices[cid]
+        if self.single_image:
+            idx = pool[int(rng.integers(len(pool)))] if len(pool) > 1 else pool[0]
+            return {
+                "category_id": cid,
+                "support_indices": [idx] * self.num_support,
+                "query_indices": [idx] * self.num_queries,
+            }
         picks = rng.choice(len(pool), size=self.num_support + self.num_queries, replace=False)
         idxs = [pool[int(i)] for i in picks]
         return {

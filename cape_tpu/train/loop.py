@@ -39,22 +39,37 @@ def train_loop(
     print_freq: int = 10,
 ) -> Dict:
     """Run the full training. Returns final stats dict."""
+    overfit = cfg.debug_overfit_category >= 0
     sampler = EpisodicSampler(
         train_ds, category_split_file, "train",
         num_queries=cfg.num_queries_per_episode,
         num_support=cfg.num_support_per_episode,
+        overfit_category=cfg.debug_overfit_category,
+        single_image=cfg.debug_single_image,
     )
-    val_sampler = EpisodicSampler(
-        val_ds, category_split_file, "val",
-        num_queries=1, num_support=cfg.num_support_per_episode,
-    )
+    if overfit:
+        # validate on the same overfit category/images (debug mode —
+        # `train_cape_episodic.py:120-126`)
+        val_sampler = EpisodicSampler(
+            train_ds, category_split_file, "train", num_queries=1,
+            num_support=cfg.num_support_per_episode,
+            overfit_category=cfg.debug_overfit_category,
+            single_image=cfg.debug_single_image,
+        )
+        val_ds = train_ds
+    else:
+        val_sampler = EpisodicSampler(
+            val_ds, category_split_file, "val",
+            num_queries=1, num_support=cfg.num_support_per_episode,
+        )
     fixed_val = (
         val_sampler.fixed_episodes(cfg.val_episodes_per_epoch, cfg.val_seed)
         if cfg.fixed_val_episodes else None
     )
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
-    steps_per_epoch = max(cfg.episodes_per_epoch // cfg.batch_size, 1)
+    episodes = cfg.debug_overfit_episodes if overfit else cfg.episodes_per_epoch
+    steps_per_epoch = max(episodes // cfg.batch_size, 1)
 
     rng = np.random.default_rng(cfg.seed)
     jrng = jax.random.PRNGKey(cfg.seed)

@@ -50,7 +50,8 @@ def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
         losses = _forward_losses(model, cfg, params, batch, dropout_rng=rng)
         return losses["total"], losses
 
-    @jax.jit
+    # donate the state so params/opt-state update in place (no HBM copies)
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng

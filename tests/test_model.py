@@ -165,8 +165,12 @@ class TestTrainStep:
         b = make_batch()
         state = create_train_state(CFG, params, steps_per_epoch=1)
         step = make_train_step(model, CFG, steps_per_epoch=1)
+        # snapshot before stepping — the train step donates its input state
+        flat0 = {
+            k: np.asarray(v) for k, v in
+            flax.traverse_util.flatten_dict(state.params).items()
+        }
         s2, _ = step(state, b, jax.random.PRNGKey(0))
-        flat0 = flax.traverse_util.flatten_dict(state.params)
         flat1 = flax.traverse_util.flatten_dict(s2.params)
         changed_frozen = [
             "/".join(map(str, k)) for k in flat0
