@@ -1,0 +1,40 @@
+"""Background-thread batch prefetcher.
+
+The TPU replacement for the reference's DataLoader worker processes
+(`episodic_sampler.py` + torch DataLoader num_workers): a single daemon
+thread assembles the next fixed-shape episode batches (PNG decode, crop,
+augment, tokenize — all GIL-releasing PIL/cv2/numpy work) while the device
+executes the current step, hiding host latency behind device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+
+def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
+    """Iterate `iterable` on a daemon thread, `buffer_size` items ahead."""
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+    error: list = []
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # propagate to consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item

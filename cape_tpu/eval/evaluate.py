@@ -27,6 +27,8 @@ Deviations (documented):
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Dict, Iterable, Optional
 
 import jax
@@ -102,6 +104,16 @@ def evaluate_cape(
         )
         pred_logits = np.asarray(out["pred_logits"], np.float32)
         pred_coords = np.asarray(out["pred_coords"], np.float32)
+        # incomplete-generation warning (`roomformer_v2.py:608-621`,
+        # WARN_INCOMPLETE_GENERATION env toggle)
+        n_unfinished = int(np.asarray(out["unfinished"]).sum())
+        if n_unfinished and os.environ.get("WARN_INCOMPLETE_GENERATION", "1") == "1":
+            warnings.warn(
+                f"{n_unfinished} sequence(s) hit max_len={cfg.seq_len} "
+                f"without predicting EOS — the model may not have learned "
+                f"stopping behavior (check EOS weighting/training length).",
+                RuntimeWarning,
+            )
         # active mask: positions before each sample's EOS
         lengths = np.asarray(out["lengths"])
         active = np.arange(pred_logits.shape[1])[None, :] < lengths[:, None]

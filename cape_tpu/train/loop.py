@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import CAPEConfig
 from ..data.episodic import EpisodicSampler, episode_batches
+from ..data.prefetch import prefetch
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
 from ..parallel import make_mesh, replicate, shard_batch
@@ -118,11 +119,11 @@ def train_loop(
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         logger = MetricLogger()
-        batches = episode_batches(
+        batches = prefetch(episode_batches(
             train_ds, sampler, cfg.batch_size, steps_per_epoch,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, rng,
-        )
+        ))
         for it, batch in enumerate(logger.log_every(
                 batches, print_freq, header=f"Epoch [{epoch}]")):
             # xprof tracing of steps 2-4 of the first epoch (jax.profiler;
@@ -187,4 +188,5 @@ def train_loop(
                   f"(no PCK improvement for {patience} epochs)", flush=True)
             break
 
+    ckpt.wait()  # flush the last async checkpoint write
     return {"best_pck": best_pck, "history": history, "params": state.params}

@@ -37,15 +37,21 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def _save(self, name: str, state, meta: Dict[str, Any]):
+        """Async save: the orbax write overlaps the next epoch's compute;
+        we only block when a new save (or restore/exit) needs the previous
+        one finished."""
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.dir, name)
         if os.path.exists(path):
             shutil.rmtree(path)
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
         self._ckptr.save(os.path.join(path, "state"), tree)
-        self._ckptr.wait_until_finished()
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
 
     def save_epoch(self, state, epoch: int, cfg: CAPEConfig,
                    best_pck: float, patience: int,
@@ -115,6 +121,7 @@ class CheckpointManager:
         TrainState). Returns (state, meta)."""
         from ..train.state import TrainState
 
+        self._ckptr.wait_until_finished()
         tree = {"step": target_state.step, "params": target_state.params,
                 "opt_state": target_state.opt_state}
 
