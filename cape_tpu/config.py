@@ -115,6 +115,11 @@ class CAPEConfig:
 
     # ---- weights ----
     resnet_weights: str = ""                  # optional torchvision resnet50 .npz
+    # Freeze backbone norm affines (the reference's FrozenBatchNorm). Only
+    # sensible with pretrained weights; from scratch the zero-init residual
+    # scales must train or every bottleneck's residual branch is dead.
+    # None = auto: freeze iff resnet_weights provided.
+    freeze_backbone_affine: Optional[bool] = None
 
     # ---- observability ----
     profile_dir: str = ""                     # xprof trace dir ("" = off)

@@ -84,14 +84,14 @@ def make_lr_schedule(cfg: CAPEConfig, base_lr: float, steps_per_epoch: int):
     return schedule
 
 
-def _param_labels(params) -> Dict:
+def _param_labels(params, freeze_affine: bool = True) -> Dict:
     """Label each leaf: frozen | backbone | offsets | base."""
     flat = flax.traverse_util.flatten_dict(params)
     labels = {}
     for path in flat:
         joined = "/".join(str(p) for p in path)
         if "frozen_affine" in joined:
-            labels[path] = "frozen"
+            labels[path] = "frozen" if freeze_affine else "backbone"
         elif "backbone" in joined:
             labels[path] = "backbone"
         elif "sampling_offsets" in joined:
@@ -108,6 +108,11 @@ def make_optimizer(cfg: CAPEConfig, steps_per_epoch: int) -> optax.GradientTrans
             weight_decay=cfg.weight_decay,
         )
 
+    freeze_affine = (
+        cfg.freeze_backbone_affine
+        if cfg.freeze_backbone_affine is not None
+        else bool(cfg.resnet_weights)
+    )
     groups = optax.multi_transform(
         {
             "base": adamw(cfg.lr),
@@ -115,7 +120,7 @@ def make_optimizer(cfg: CAPEConfig, steps_per_epoch: int) -> optax.GradientTrans
             "offsets": adamw(cfg.lr * cfg.lr_linear_proj_mult),
             "frozen": optax.set_to_zero(),
         },
-        _param_labels,
+        lambda params: _param_labels(params, freeze_affine),
     )
     tx = optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), groups)
     if cfg.accumulation_steps > 1:

@@ -137,6 +137,12 @@ class TestDecode:
         assert (lengths >= CFG.min_decode_len).all()
 
 
+def _copy(tree):
+    """Deep-copy params — the train step donates its input state, which
+    would otherwise invalidate the shared module fixture."""
+    return jax.tree_util.tree_map(lambda x: jnp.array(x), tree)
+
+
 class TestTrainStep:
     def test_loss_decreases_on_fixed_batch(self, model_and_params):
         """Overfit smoke test — the reference's own acceptance criterion
@@ -146,7 +152,7 @@ class TestTrainStep:
         model, params = model_and_params
         cfg = CFG
         b = make_batch()
-        state = create_train_state(cfg, params, steps_per_epoch=1)
+        state = create_train_state(cfg, _copy(params), steps_per_epoch=1)
         step = make_train_step(model, cfg, steps_per_epoch=1)
         rng = jax.random.PRNGKey(0)
         losses = []
@@ -163,8 +169,11 @@ class TestTrainStep:
 
         model, params = model_and_params
         b = make_batch()
-        state = create_train_state(CFG, params, steps_per_epoch=1)
-        step = make_train_step(model, CFG, steps_per_epoch=1)
+        # explicit freeze (the default auto-policy freezes only when
+        # pretrained weights are loaded)
+        cfg_frozen = CFG.replace(freeze_backbone_affine=True)
+        state = create_train_state(cfg_frozen, _copy(params), steps_per_epoch=1)
+        step = make_train_step(model, cfg_frozen, steps_per_epoch=1)
         # snapshot before stepping — the train step donates its input state
         flat0 = {
             k: np.asarray(v) for k, v in
