@@ -94,25 +94,36 @@ class CheckpointManager:
             shutil.rmtree(os.path.join(self.dir, name))
 
     # ------------------------------------------------------------------
+    def _complete(self, name: str) -> bool:
+        """Only checkpoints whose orbax 'state' dir has finalized count —
+        async saves write meta.json first (orbax renames 'state' into place
+        atomically at the end)."""
+        return os.path.isdir(os.path.join(self.dir, name, "state"))
+
     def list_checkpoints(self):
+        self._ckptr.wait_until_finished()  # flush own in-flight saves
         return sorted(
             n for n in os.listdir(self.dir)
-            if _EPOCH_RE.match(n) or _BEST_RE.match(n)
+            if (_EPOCH_RE.match(n) or _BEST_RE.match(n)) and self._complete(n)
         )
 
     def latest(self) -> Optional[str]:
+        self._ckptr.wait_until_finished()
         best = None
         for name in os.listdir(self.dir):
             m = _EPOCH_RE.match(name)
-            if m and (best is None or int(m.group(1)) > best[0]):
+            if m and self._complete(name) and (
+                    best is None or int(m.group(1)) > best[0]):
                 best = (int(m.group(1)), name)
         return os.path.join(self.dir, best[1]) if best else None
 
     def best(self) -> Optional[str]:
+        self._ckptr.wait_until_finished()
         top = None
         for name in os.listdir(self.dir):
             m = _BEST_RE.match(name)
-            if m and (top is None or float(m.group(2)) > top[0]):
+            if m and self._complete(name) and (
+                    top is None or float(m.group(2)) > top[0]):
                 top = (float(m.group(2)), name)
         return os.path.join(self.dir, top[1]) if top else None
 
