@@ -18,8 +18,7 @@ Composition parity with `models/roomformer_v2.py:149-693` +
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

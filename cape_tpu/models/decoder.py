@@ -23,7 +23,7 @@ per layer (`:1096-1102`), anchors = sigmoid(learned query_embed)
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax

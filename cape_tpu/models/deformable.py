@@ -17,7 +17,7 @@ TPU-specific changes vs the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import math
 from typing import Any, Dict
 
 import flax
-import jax
 import jax.numpy as jnp
 import optax
 
