@@ -23,6 +23,7 @@ def make_synthetic_mp100(
     keypoint_range=(4, 8),
     image_size=(96, 128),  # (h, w)
     seed: int = 0,
+    learnable: bool = False,
 ) -> Dict[str, str]:
     """Write a synthetic MP-100 tree under `root`.
 
@@ -37,6 +38,13 @@ def make_synthetic_mp100(
     each split's annotation JSON contains only its categories' images (the
     reference ships one JSON per split too).
 
+    With `learnable=True` the task carries real signal instead of noise:
+    keypoints sit at category-consistent relative positions inside the bbox
+    (plus jitter) and each keypoint index is drawn as a distinctive colored
+    disc on the image — so a model can localize keypoints visually and
+    generalize to unseen categories, enabling end-to-end PCK training demos
+    without the real MP-100.
+
     Returns dict with paths: {'root', 'train_ann', 'val_ann', 'test_ann',
     'split_file', 'img_dir'}.
     """
@@ -47,7 +55,13 @@ def make_synthetic_mp100(
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
 
+    # per-keypoint-index marker colors, shared across categories (learnable
+    # mode): index i is always drawn in color _KPT_COLORS[i]
+    max_k = keypoint_range[1]
+    kpt_colors = (rng.integers(60, 256, size=(max_k, 3))).astype(np.int32)
+
     categories = []
+    cat_layouts = {}
     for cid in range(1, num_categories + 1):
         n_kpts = int(rng.integers(keypoint_range[0], keypoint_range[1] + 1))
         # chain skeleton, 1-indexed like real MP-100 COCO files
@@ -60,6 +74,8 @@ def make_synthetic_mp100(
                 "skeleton": skeleton,
             }
         )
+        # category-consistent relative layout within the bbox
+        cat_layouts[cid] = rng.uniform(0.12, 0.88, size=(n_kpts, 2))
 
     # meta-split: >=2 categories each for episodic sampling
     n_train = max(2, num_categories - 4)
@@ -84,20 +100,33 @@ def make_synthetic_mp100(
         for _ in range(images_per_category):
             img_id += 1
             fname = f"img_{img_id:04d}.png"
-            arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
-            Image.fromarray(arr).save(os.path.join(img_dir, fname))
 
             # bbox inside the image with margin
             bw = int(rng.integers(w // 2, w - 8))
             bh = int(rng.integers(h // 2, h - 8))
             bx = int(rng.integers(0, w - bw))
             by = int(rng.integers(0, h - bh))
-            # keypoints inside the bbox; mostly visible
-            kx = rng.uniform(bx + 1, bx + bw - 1, size=n_kpts)
-            ky = rng.uniform(by + 1, by + bh - 1, size=n_kpts)
-            vis = rng.choice([0, 1, 2], size=n_kpts, p=[0.1, 0.2, 0.7])
-            if (vis > 0).sum() == 0:
-                vis[0] = 2
+            if learnable:
+                rel = cat_layouts[cat["id"]]
+                jitter = rng.normal(0, 0.02, size=rel.shape)
+                rel_j = np.clip(rel + jitter, 0.02, 0.98)
+                kx = bx + rel_j[:, 0] * bw
+                ky = by + rel_j[:, 1] * bh
+                vis = np.full(n_kpts, 2, np.int64)
+                arr = rng.integers(20, 90, size=(h, w, 3), dtype=np.uint8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                for i in range(n_kpts):
+                    d2 = (xx - kx[i]) ** 2 + (yy - ky[i]) ** 2
+                    mask = d2 <= 3.0**2
+                    arr[mask] = kpt_colors[i]
+            else:
+                kx = rng.uniform(bx + 1, bx + bw - 1, size=n_kpts)
+                ky = rng.uniform(by + 1, by + bh - 1, size=n_kpts)
+                vis = rng.choice([0, 1, 2], size=n_kpts, p=[0.1, 0.2, 0.7])
+                if (vis > 0).sum() == 0:
+                    vis[0] = 2
+                arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, fname))
             flat = []
             for x, y, v in zip(kx, ky, vis):
                 flat += [float(x), float(y), int(v)]
