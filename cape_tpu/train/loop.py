@@ -168,6 +168,17 @@ def train_loop(
             f"{pck:.2%} (macro {val_stats['pck_mean_categories']:.2%}) | "
             f"{time.time() - t0:.1f}s", flush=True,
         )
+        # overfitting heuristic banner (reference
+        # `train_cape_episodic.py:793-835` val/train ratio banding)
+        val_loss = val_stats.get("total", 0.0)
+        if train_loss > 0 and val_loss > 0:
+            ratio = val_loss / train_loss
+            if ratio > 2.0:
+                print(f"  ⚠ val/train loss ratio {ratio:.2f} — strong "
+                      f"overfitting signs", flush=True)
+            elif ratio > 1.5:
+                print(f"  note: val/train loss ratio {ratio:.2f} — mild "
+                      f"overfitting", flush=True)
         history.append({"epoch": epoch, "train_loss": train_loss, "pck": pck})
 
         # ---- checkpointing / early stopping ----
