@@ -27,15 +27,28 @@ from ..config import CAPEConfig
 
 
 def token_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
-                  eos_weight: float) -> jnp.ndarray:
+                  eos_weight: float,
+                  label_smoothing: float = 0.0) -> jnp.ndarray:
     """Weighted-mean CE. logits (B, L, C); labels (B, L) with -1 pads;
-    mask (B, L) bool selecting supervised positions."""
+    mask (B, L) bool selecting supervised positions.
+
+    With `label_smoothing > 0` the reference switches to an UNWEIGHTED
+    smoothed NLL (EOS class weight dropped — `cape_losses.py:93-103`,
+    `label_smoothed_nll_loss` fallback `cape_losses.py:10-38`); replicated
+    here: loss_i = (1-eps)*nll_i + eps/C * sum_c(-logp_ic), plain mean.
+    """
     num_classes = logits.shape[-1]
     safe_labels = jnp.clip(labels, 0, num_classes - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    class_w = jnp.ones((num_classes,), jnp.float32).at[2].set(eos_weight)
-    w = class_w[safe_labels] * mask.astype(jnp.float32)
+    if label_smoothing > 0:
+        eps = float(label_smoothing)
+        smooth = -logp.sum(-1) / num_classes
+        nll = (1.0 - eps) * nll + eps * smooth
+        w = mask.astype(jnp.float32)
+    else:
+        class_w = jnp.ones((num_classes,), jnp.float32).at[2].set(eos_weight)
+        w = class_w[safe_labels] * mask.astype(jnp.float32)
     den = w.sum()
     return jnp.where(den > 0, (nll * w).sum() / jnp.where(den > 0, den, 1.0), 0.0)
 
@@ -70,7 +83,7 @@ def cape_criterion(outputs: Dict, targets: Dict, cfg: CAPEConfig) -> Dict[str, j
 
     losses = {
         "loss_ce": token_ce_loss(outputs["pred_logits"], labels, ce_mask,
-                                 cfg.eos_weight),
+                                 cfg.eos_weight, cfg.label_smoothing),
         "loss_coords": coords_l1_loss(outputs["pred_coords"], target_seq,
                                       coord_mask),
     }
@@ -81,7 +94,7 @@ def cape_criterion(outputs: Dict, targets: Dict, cfg: CAPEConfig) -> Dict[str, j
         A = outputs["aux_classes"].shape[0]
         for i in range(A):
             lce = token_ce_loss(outputs["aux_classes"][i], labels, ce_mask,
-                                cfg.eos_weight)
+                                cfg.eos_weight, cfg.label_smoothing)
             lco = coords_l1_loss(outputs["aux_coords"][i], target_seq,
                                  coord_mask)
             losses[f"loss_ce_{i}"] = lce

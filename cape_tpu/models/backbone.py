@@ -41,10 +41,13 @@ class FrozenAffine(nn.Module):
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          dilation=1):
+    pad = dilation * (kernel // 2)
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
-        padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
+        padding=[(pad, pad)] * 2, kernel_dilation=(dilation, dilation),
+        use_bias=False,
         kernel_init=nn.initializers.he_normal(), dtype=dtype, name=name,
     )
 
@@ -55,6 +58,7 @@ class Bottleneck(nn.Module):
     features: int            # bottleneck width; output = 4x
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1        # 3x3 conv dilation (DC5 mode, `backbone.py:77`)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,7 +67,8 @@ class Bottleneck(nn.Module):
         out = _conv(self.features, 1, 1, "conv1", self.dtype)(x)
         out = FrozenAffine(self.features, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, self.stride, "conv2", self.dtype)(out)
+        out = _conv(self.features, 3, self.stride, "conv2", self.dtype,
+                    dilation=self.dilation)(out)
         out = FrozenAffine(self.features, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = _conv(self.features * 4, 1, 1, "conv3", self.dtype)(out)
@@ -86,6 +91,9 @@ class ResNet50(nn.Module):
     input_channels: int = 3
     dtype: jnp.dtype = jnp.float32
     block_counts: Sequence[int] = (3, 4, 6, 3)
+    # DC5: layer4 keeps stride 16 with dilated 3x3 convs
+    # (`backbone.py:72-84`, replace_stride_with_dilation=[F, F, dilation])
+    dilation: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -99,12 +107,18 @@ class ResNet50(nn.Module):
         feats = []
         widths = (64, 128, 256, 512)
         for li, (count, width) in enumerate(zip(self.block_counts, widths)):
-            stride = 1 if li == 0 else 2
+            dilate_layer = self.dilation and li == 3
+            stride = 1 if (li == 0 or dilate_layer) else 2
             for bi in range(count):
+                # torchvision replace_stride_with_dilation semantics: the
+                # layer's FIRST block keeps the previous dilation (1) with
+                # stride replaced by 1; subsequent blocks dilate by 2.
+                dil = 2 if (dilate_layer and bi > 0) else 1
                 x = Bottleneck(
                     width,
                     stride=stride if bi == 0 else 1,
                     downsample=(bi == 0),
+                    dilation=dil,
                     dtype=self.dtype,
                     name=f"layer{li + 1}_block{bi}",
                 )(x)

@@ -35,11 +35,15 @@ from .position_encoding import image_sine_pe_2d
 from .support_encoder import GeometricSupportEncoder
 
 
-def level_shapes(image_size: int, num_levels: int) -> Tuple[Tuple[int, int], ...]:
+def level_shapes(image_size: int, num_levels: int,
+                 dilation: bool = False) -> Tuple[Tuple[int, int], ...]:
     """Static feature-map shapes: strides 8/16/32 (+64 for the extra level
-    projected from layer4, `roomformer_v2.py:196-205`)."""
-    strides = [8, 16, 32, 64][:num_levels]
-    return tuple((image_size // s, image_size // s) for s in strides)
+    projected from layer4, `roomformer_v2.py:196-205`). DC5 dilation keeps
+    layer4 at stride 16 (`backbone.py:77-84`), so the strides become
+    8/16/16 (+32)."""
+    strides = [8, 16, 16, 32] if dilation else [8, 16, 32, 64]
+    return tuple((image_size // s, image_size // s)
+                 for s in strides[:num_levels])
 
 
 class CAPE(nn.Module):
@@ -55,7 +59,33 @@ class CAPE(nn.Module):
         # counts for fast unit tests while keeping the exact architecture.
         blocks = (1, 1, 1, 1) if cfg.backbone == "resnet_tiny" else (3, 4, 6, 3)
         self.backbone = ResNet50(input_channels=cfg.input_channels,
-                                 dtype=dtype, block_counts=blocks)
+                                 dtype=dtype, block_counts=blocks,
+                                 dilation=cfg.dilation)
+        if cfg.support_fusion_method != "cross_attention":
+            # The reference's 'concat'/'add' branches are dead code: they
+            # define support_proj (`cape_model.py:54-56`) but never apply
+            # it in forward — only cross_attention is wired.
+            raise ValueError(
+                f"support_fusion_method={cfg.support_fusion_method!r}: only "
+                "'cross_attention' is functional (matches the reference)"
+            )
+        if cfg.position_embedding in ("learned", "v3"):
+            # PositionEmbeddingLearned (`position_encoding.py:41-64`):
+            # per-axis tables, pe = concat(col[x], row[y]); tables sized to
+            # the largest feature level instead of the reference's fixed 50
+            # so 512px inputs (stride-8 level = 64) are covered.
+            max_hw = max(h for h, _ in level_shapes(
+                cfg.image_size, cfg.num_feature_levels, cfg.dilation))
+            init = nn.initializers.uniform(scale=1.0)
+            self.row_embed = self.param(
+                "row_embed", init, (max_hw, cfg.hidden_dim // 2))
+            self.col_embed = self.param(
+                "col_embed", init, (max_hw, cfg.hidden_dim // 2))
+        elif cfg.position_embedding not in ("sine", "v2"):
+            raise ValueError(
+                f"position_embedding={cfg.position_embedding!r}: 'sine'/'v2' "
+                "or 'learned'/'v3' (reference position_encoding.py:76-81)"
+            )
         # 1x1 conv + GroupNorm(32) per backbone level; extra stride-2 3x3
         # level from layer4 (`roomformer_v2.py:186-214`)
         self.input_projs = [
@@ -91,7 +121,9 @@ class CAPE(nn.Module):
             n_points=cfg.dec_n_points, vocab_size=cfg.token_vocab_size,
             seq_len=cfg.seq_len, num_classes=cfg.num_token_classes,
             pad_id=cfg.num_bins * cfg.num_bins + 3,
-            use_pallas=cfg.use_pallas_msda, dtype=dtype,
+            use_pallas=cfg.use_pallas_msda,
+            query_pos_type=cfg.query_pos_type,
+            poly_refine=cfg.with_poly_refine, dtype=dtype,
         )
         if cfg.use_geometric_encoder:
             self.support_encoder = GeometricSupportEncoder(
@@ -116,7 +148,21 @@ class CAPE(nn.Module):
     # ------------------------------------------------------------------
     @property
     def spatial_shapes(self) -> Tuple[Tuple[int, int], ...]:
-        return level_shapes(self.cfg.image_size, self.cfg.num_feature_levels)
+        return level_shapes(self.cfg.image_size, self.cfg.num_feature_levels,
+                            self.cfg.dilation)
+
+    def _level_pe(self, h: int, w: int) -> jnp.ndarray:
+        """(h, w, D) positional encoding for one feature level."""
+        if self.cfg.position_embedding in ("learned", "v3"):
+            x_emb = self.col_embed[:w].astype(self.dtype)   # (w, D/2)
+            y_emb = self.row_embed[:h].astype(self.dtype)   # (h, D/2)
+            return jnp.concatenate([
+                jnp.broadcast_to(x_emb[None, :, :], (h, w, x_emb.shape[-1])),
+                jnp.broadcast_to(y_emb[:, None, :], (h, w, y_emb.shape[-1])),
+            ], axis=-1)
+        return jnp.asarray(
+            image_sine_pe_2d(h, w, self.cfg.hidden_dim), self.dtype
+        )
 
     def encode_image(self, images: jnp.ndarray,
                      deterministic: bool = True) -> jnp.ndarray:
@@ -130,8 +176,8 @@ class CAPE(nn.Module):
         flat, pos_flat = [], []
         for lvl, src in enumerate(srcs):
             b, h, w, d = src.shape
-            pe = image_sine_pe_2d(h, w, cfg.hidden_dim)
-            lvl_pos = jnp.asarray(pe.reshape(1, h * w, d), self.dtype) + \
+            pe = self._level_pe(h, w)
+            lvl_pos = pe.reshape(1, h * w, d) + \
                 self.level_embed[lvl].astype(self.dtype)
             flat.append(src.reshape(b, h * w, d))
             pos_flat.append(jnp.broadcast_to(lvl_pos, (b, h * w, d)))

@@ -197,6 +197,11 @@ class Decoder(nn.Module):
     num_classes: int = 3
     pad_id: int = 1939
     use_pallas: bool = False
+    # 'sine' | 'none' (`deformable_transformer_v2.py:1078-1081`)
+    query_pos_type: str = "sine"
+    # iterative refinement per layer; off = only the last layer refines the
+    # anchor (`deformable_transformer_v2.py:1096-1114`, use_anchor branch)
+    poly_refine: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -211,8 +216,15 @@ class Decoder(nn.Module):
         self.query_embed = self.param(
             "query_embed", nn.initializers.normal(1.0), (self.seq_len, 2)
         )
-        self.pos_trans = nn.Dense(self.d_model, dtype=self.dtype)
-        self.pos_trans_norm = nn.LayerNorm(dtype=self.dtype)
+        if self.query_pos_type not in ("sine", "none"):
+            raise ValueError(
+                f"query_pos_type={self.query_pos_type!r}: the reference "
+                "decoder supports 'sine' and 'none' only "
+                "(deformable_transformer_v2.py:1078-1081)"
+            )
+        if self.query_pos_type == "sine":
+            self.pos_trans = nn.Dense(self.d_model, dtype=self.dtype)
+            self.pos_trans_norm = nn.LayerNorm(dtype=self.dtype)
         self.layers = [
             DecoderLayer(self.d_model, self.d_ffn, self.dropout,
                          self.n_levels, self.n_heads, self.n_points,
@@ -250,8 +262,24 @@ class Decoder(nn.Module):
         return jax.nn.sigmoid(self.query_embed.astype(jnp.float32))
 
     def _query_pos(self, ref: jnp.ndarray) -> jnp.ndarray:
+        if self.query_pos_type == "none":
+            return jnp.zeros(ref.shape[:-1] + (self.d_model,), self.dtype)
         pe = query_sine_embed(ref, self.d_model // 2).astype(self.dtype)
         return self.pos_trans_norm(self.pos_trans(pe))
+
+    def _refine(self, lid: int, x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+        """Layer-lid coordinate refinement of the reference point.
+
+        poly_refine: every layer refines (`dtv2:1096-1102`). Otherwise only
+        the final layer applies its offset to the anchor (use_anchor branch,
+        `dtv2:1104-1112`); intermediate layers pass the anchor through, so
+        aux coord losses still train the anchors — as in the reference.
+        """
+        if not self.poly_refine and lid != self.num_layers - 1:
+            return ref
+        head = lid if self.poly_refine else -1
+        offset = self.coords_heads[head](x).astype(jnp.float32)
+        return jax.nn.sigmoid(offset + inverse_sigmoid(ref))
 
     # ------------------------------------------------------------------
     def forward_train(
@@ -290,8 +318,7 @@ class Decoder(nn.Module):
                 x, query_pos, ref_input, memory, spatial_shapes, causal,
                 support_features, support_mask, deterministic=deterministic,
             )
-            offset = self.coords_heads[lid](x).astype(jnp.float32)
-            ref = jax.nn.sigmoid(offset + inverse_sigmoid(ref))
+            ref = self._refine(lid, x, ref)
             classes.append(self.class_heads[lid](x))
             refs.append(ref)
         return jnp.stack(classes), jnp.stack(refs)
@@ -350,7 +377,6 @@ class Decoder(nn.Module):
                 caches[lid], pos_index, sk, sv, support_mask,
             )
             new_caches.append(cache)
-            offset = self.coords_heads[lid](x).astype(jnp.float32)
-            ref = jax.nn.sigmoid(offset + inverse_sigmoid(ref))
+            ref = self._refine(lid, x, ref)
             logits = self.class_heads[lid](x)
         return logits, ref, new_caches

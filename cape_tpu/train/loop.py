@@ -24,7 +24,8 @@ from ..data.prefetch import prefetch
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
 from ..parallel import make_mesh, replicate, shard_batch
-from ..utils.checkpoint import CheckpointManager, numpy_rng_state
+from ..utils.checkpoint import (CheckpointManager, jax_rng_state,
+                                numpy_rng_state, restore_jax_rng)
 from ..utils.logging import MetricLogger
 from .state import create_train_state
 from .train_step import make_eval_loss_fn, make_train_step
@@ -108,6 +109,8 @@ def train_loop(
         patience = meta.get("patience", 0)
         if meta.get("rng_state"):
             rng.bit_generator.state = meta["rng_state"]
+        if meta.get("jrng_state"):
+            jrng = restore_jax_rng(meta["jrng_state"])  # exact dropout resume
         print(f"Resumed from {resume} at epoch {start_epoch} "
               f"(best PCK {best_pck:.2%})", flush=True)
 
@@ -187,11 +190,13 @@ def train_loop(
             best_pck = pck
             patience = 0
             ckpt.save_best(state, epoch, pck, cfg, best_pck, patience,
-                           rng_state=numpy_rng_state(rng))
+                           rng_state=numpy_rng_state(rng),
+                           jrng_state=jax_rng_state(jrng))
         else:
             patience += 1
         ckpt.save_epoch(state, epoch, cfg, best_pck, patience,
                         rng_state=numpy_rng_state(rng),
+                        jrng_state=jax_rng_state(jrng),
                         extra={"val_stats": {k: v for k, v in val_stats.items()
                                              if np.isscalar(v)}})
         if cfg.early_stopping_patience and patience >= cfg.early_stopping_patience:

@@ -100,28 +100,65 @@ def _param_labels(params, freeze_affine: bool = True) -> Dict:
     return flax.traverse_util.unflatten_dict(labels)
 
 
-def make_optimizer(cfg: CAPEConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    def adamw(lr):
-        return optax.adamw(
-            make_lr_schedule(cfg, lr, steps_per_epoch),
-            weight_decay=cfg.weight_decay,
-        )
+def _scale_by_group_lr(cfg: CAPEConfig, steps_per_epoch: int,
+                       freeze_affine: bool) -> optax.GradientTransformation:
+    """Final chain link: per-leaf `-lr_group(step) * update`.
 
+    Replaces round-1's `optax.multi_transform` over three full AdamW
+    instances: one shared `scale_by_adam` pass now feeds this single
+    stateless-per-leaf scale, so XLA fuses the whole 46.6M-param update
+    into one sweep instead of three masked ones. Math is identical to the
+    reference's param groups (`train_cape_episodic.py:527-608`): each
+    group gets its own schedule (same eta_min floor, per-group base lr);
+    frozen affines get lr=0.
+    """
+    scheds = {
+        "base": make_lr_schedule(cfg, cfg.lr, steps_per_epoch),
+        "backbone": make_lr_schedule(cfg, cfg.lr_backbone, steps_per_epoch),
+        "offsets": make_lr_schedule(
+            cfg, cfg.lr * cfg.lr_linear_proj_mult, steps_per_epoch
+        ),
+    }
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        lrs = {k: s(state.count) for k, s in scheds.items()}
+        lrs["frozen"] = jnp.zeros((), jnp.float32)
+        flat_u = flax.traverse_util.flatten_dict(updates)
+        flat_l = flax.traverse_util.flatten_dict(
+            _param_labels(updates, freeze_affine)
+        )
+        scaled = {
+            p: (-lrs[flat_l[p]]).astype(u.dtype) * u
+            for p, u in flat_u.items()
+        }
+        new_updates = flax.traverse_util.unflatten_dict(scaled)
+        return new_updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(cfg: CAPEConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     freeze_affine = (
         cfg.freeze_backbone_affine
         if cfg.freeze_backbone_affine is not None
         else bool(cfg.resnet_weights)
     )
-    groups = optax.multi_transform(
-        {
-            "base": adamw(cfg.lr),
-            "backbone": adamw(cfg.lr_backbone),
-            "offsets": adamw(cfg.lr * cfg.lr_linear_proj_mult),
-            "frozen": optax.set_to_zero(),
-        },
-        lambda params: _param_labels(params, freeze_affine),
+    # Fused AdamW: clip -> one adam moment pass -> decoupled weight decay
+    # -> per-leaf group lr. Equivalent to per-group optax.adamw (which is
+    # scale_by_adam -> add_decayed_weights -> scale_by_learning_rate) but
+    # a single tree sweep. Frozen affines carry (tiny, unused) moments and
+    # receive lr=0, matching round-1's set_to_zero group.
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_max_norm),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(cfg.weight_decay),
+        _scale_by_group_lr(cfg, steps_per_epoch, freeze_affine),
     )
-    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), groups)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
     return tx

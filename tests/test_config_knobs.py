@@ -1,0 +1,111 @@
+"""Every CAPEConfig knob must be honored (VERDICT round-1 item 7).
+
+Covers the paths that were config-only in round 1:
+- query_pos_type='none' (`deformable_transformer_v2.py:1078-1081`)
+- with_poly_refine=False (use_anchor final-layer refinement, `dtv2:1104-1112`)
+- dilation=True (DC5 backbone, `backbone.py:72-84`)
+- position_embedding='learned' (`position_encoding.py:41-64`)
+- label_smoothing (covered separately in test_losses.py)
+- support_fusion_method validation ('concat'/'add' are dead in the
+  reference too — support_proj is never applied, `cape_model.py:54-56`)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cape_tpu.config import tiny_test_config
+from cape_tpu.models import CAPE
+from cape_tpu.models.cape import level_shapes
+
+
+def _batch(cfg, batch=1, n_kpts=4, seed=0):
+    from cape_tpu.data.tokenizer import DiscreteTokenizer, tokenize_keypoints
+
+    rng = np.random.default_rng(seed)
+    S, K, E = cfg.image_size, cfg.max_support_keypoints, cfg.max_skeleton_edges
+    tok = DiscreteTokenizer(cfg.num_bins, cfg.seq_len)
+    tgts = [
+        tokenize_keypoints(tok, rng.uniform(5, S - 5, (n_kpts, 2)), S, S)
+        for _ in range(batch)
+    ]
+    targets = {k: jnp.asarray(np.stack([t[k] for t in tgts])) for k in tgts[0]}
+    edges = np.full((batch, E, 2), -1, np.int32)
+    return (
+        jnp.asarray(rng.uniform(size=(batch, S, S, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(size=(batch, K, 2)), jnp.float32),
+        jnp.zeros((batch, K), bool).at[:, n_kpts:].set(True),
+        jnp.asarray(edges),
+        targets,
+    )
+
+
+def _forward(cfg):
+    model = CAPE(cfg)
+    imgs, sc, sm, se, targets = _batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), imgs, sc, sm, se, targets)
+    return model.apply(params, imgs, sc, sm, se, targets), params
+
+
+@pytest.mark.parametrize("knobs", [
+    {"query_pos_type": "none"},
+    {"with_poly_refine": False},
+    {"dilation": True},
+    {"position_embedding": "learned"},
+])
+def test_knob_forward_finite(knobs):
+    cfg = tiny_test_config(**knobs)
+    out, params = _forward(cfg)
+    assert out["pred_logits"].shape[-1] == 3
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    assert np.isfinite(np.asarray(out["pred_coords"])).all()
+
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    if knobs.get("query_pos_type") == "none":
+        assert not any("pos_trans" in n for n in names)
+    if knobs.get("position_embedding") == "learned":
+        assert any("row_embed" in n for n in names)
+        assert any("col_embed" in n for n in names)
+
+
+def test_no_refine_intermediate_refs_are_anchors():
+    cfg = tiny_test_config(with_poly_refine=False)
+    out, params = _forward(cfg)
+    # with refinement off, aux layers emit the (constant) learned anchors
+    anchors = jax.nn.sigmoid(
+        params["params"]["decoder"]["query_embed"].astype(np.float32)
+    )
+    aux = np.asarray(out["aux_coords"])
+    L = aux.shape[2]
+    for a in aux:
+        np.testing.assert_allclose(a[0], np.asarray(anchors)[:L], atol=1e-6)
+    # only the FINAL coords head exists in the param tree (shared head,
+    # reference dtv2 use_anchor non-refine path)
+    dec = params["params"]["decoder"]
+    heads = [k for k in dec if k.startswith("coords_head_")]
+    assert heads == [f"coords_head_{cfg.dec_layers - 1}"], heads
+
+
+def test_dilation_level_shapes():
+    assert level_shapes(64, 4, dilation=False) == ((8, 8), (4, 4), (2, 2), (1, 1))
+    assert level_shapes(64, 4, dilation=True) == ((8, 8), (4, 4), (4, 4), (2, 2))
+
+
+def test_invalid_fusion_method_raises():
+    cfg = tiny_test_config(support_fusion_method="concat")
+    with pytest.raises(ValueError, match="cross_attention"):
+        _forward(cfg)
+
+
+def test_dilated_backbone_shapes():
+    from cape_tpu.models.backbone import ResNet50
+
+    x = jnp.zeros((1, 64, 64, 3))
+    net = ResNet50(block_counts=(1, 1, 1, 1), dilation=True)
+    feats = net.init_with_output(jax.random.PRNGKey(0), x)[0]
+    # strides 8 / 16 / 16 (DC5)
+    assert feats[0].shape[1:3] == (8, 8)
+    assert feats[1].shape[1:3] == (4, 4)
+    assert feats[2].shape[1:3] == (4, 4)

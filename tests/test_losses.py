@@ -52,6 +52,31 @@ class TestTokenCE:
                                  jnp.asarray(mask), eos_weight=1.0))
         assert lw > lu  # EOS mistake dominates with 20x weight
 
+    def test_label_smoothing_matches_torch_oracle(self):
+        """Smoothed path: UNWEIGHTED smoothed NLL, as the reference's
+        `label_smoothed_nll_loss` fallback (`cape_losses.py:10-38`) —
+        the EOS class weight is dropped when smoothing is on
+        (`cape_losses.py:93-103`)."""
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(7)
+        logits = rng.normal(size=(2, 12, 3)).astype(np.float32)
+        labels = rng.integers(0, 3, size=(2, 12)).astype(np.int32)
+        labels[:, -2:] = -1
+        mask = (labels != -1) & (rng.uniform(size=(2, 12)) > 0.3)
+        eps = 0.1
+        ours = float(token_ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                   jnp.asarray(mask), eos_weight=20.0,
+                                   label_smoothing=eps))
+        lg = torch.from_numpy(logits)[torch.from_numpy(mask)]
+        lb = torch.from_numpy(labels.astype(np.int64))[torch.from_numpy(mask)]
+        logp = F.log_softmax(lg, dim=-1)
+        onehot = torch.zeros_like(logp).scatter_(1, lb.unsqueeze(1), 1.0)
+        q = onehot * (1 - eps) + eps / logp.shape[-1]
+        ref = (-(q * logp).sum(-1)).mean().item()
+        assert ours == pytest.approx(ref, rel=1e-5)
+
     def test_empty_mask_returns_zero(self):
         out = token_ce_loss(jnp.zeros((1, 4, 3)), jnp.full((1, 4), -1),
                             jnp.zeros((1, 4), bool), 20.0)

@@ -54,3 +54,35 @@ def test_train_eval_checkpoint_resume(env):
                          paths["split_file"], resume=mgr.latest(),
                          print_freq=0)
     assert result2["history"][0]["epoch"] == 1  # continued, not restarted
+
+
+def test_resume_is_exact(env):
+    """Interrupted-then-resumed training reproduces the uninterrupted loss
+    sequence exactly: params/opt state, host numpy RNG (data order), AND the
+    jax dropout PRNGKey are all checkpointed (reference saves all RNG
+    streams, `train_cape_episodic.py:883-890`)."""
+    from cape_tpu.train.loop import train_loop
+    from cape_tpu.utils.checkpoint import CheckpointManager
+
+    cfg0, train_ds, val_ds, paths = env
+    # dropout > 0 so the jax PRNGKey stream actually matters
+    base = cfg0.replace(epochs=2, dropout=0.1, early_stopping_patience=0)
+
+    cfg_a = base.replace(output_dir=cfg0.output_dir + "_exact_a")
+    full = train_loop(CAPE(cfg_a), cfg_a, train_ds, val_ds,
+                      paths["split_file"], print_freq=0)
+
+    cfg_b = base.replace(output_dir=cfg0.output_dir + "_exact_b", epochs=1)
+    train_loop(CAPE(cfg_b), cfg_b, train_ds, val_ds, paths["split_file"],
+               print_freq=0)
+    cfg_b2 = cfg_b.replace(epochs=2)
+    resumed = train_loop(
+        CAPE(cfg_b2), cfg_b2, train_ds, val_ds, paths["split_file"],
+        resume=CheckpointManager(cfg_b.output_dir).latest(), print_freq=0,
+    )
+
+    assert full["history"][1]["epoch"] == resumed["history"][0]["epoch"] == 1
+    a = full["history"][1]["train_loss"]
+    b = resumed["history"][0]["train_loss"]
+    assert a == b, f"resume not exact: epoch-1 loss {a!r} vs {b!r}"
+    assert full["history"][1]["pck"] == resumed["history"][0]["pck"]
