@@ -46,14 +46,37 @@ def build_mp100_cape(image_set: str, cfg: CAPEConfig) -> MP100Dataset:
     )
 
 
+#: canonical MP-100 split-1 69/10/20 protocol file shipped with the package
+#: (category ID lists from the reference's `category_splits.json:1-219`)
+CANONICAL_SPLIT1 = str(
+    Path(__file__).parent / "category_splits_split1.json"
+)
+
+
 def resolve_split_file(cfg: CAPEConfig) -> str:
-    """category_splits.json: explicit path, else dataset_root, else cwd."""
+    """category_splits.json resolution, in order:
+
+    1. the configured path (as given, then relative to dataset_root);
+    2. split 1: the canonical 69/10/20 protocol file shipped in the package;
+    3. folds 2-5: synthesized from the fold's annotation JSONs
+       (`make_category_split_file`) into the output dir — so the k-fold
+       script runs against a dataset root with only annotations present.
+    """
     for cand in (
         cfg.category_split_file,
         os.path.join(cfg.dataset_root, cfg.category_split_file),
     ):
         if cand and os.path.exists(cand):
             return cand
-    raise FileNotFoundError(
-        f"category split file not found: {cfg.category_split_file}"
+    if cfg.mp100_split == 1:
+        return CANONICAL_SPLIT1
+    from .splits import make_category_split_file
+
+    out = os.path.join(
+        cfg.output_dir, f"category_splits_split{cfg.mp100_split}.json"
     )
+    if not os.path.exists(out):
+        make_category_split_file(cfg.dataset_root, cfg.mp100_split, out)
+        print(f"Synthesized category split file for fold {cfg.mp100_split}: "
+              f"{out}", flush=True)
+    return out

@@ -28,6 +28,9 @@ def test_sharded_train_step_matches_single_device():
                  skeleton_edges=se, targets=targets)
 
     variables = model.init(jax.random.PRNGKey(0), imgs, sc, sm, se, targets)
+    # keep master weights on host: the donated train step deletes its input
+    # device buffers, and both runs must start from identical params
+    variables = jax.tree_util.tree_map(np.asarray, variables)
     step = make_train_step(model, cfg, steps_per_epoch=1)
     rng = jax.random.PRNGKey(7)
 
