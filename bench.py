@@ -75,6 +75,53 @@ def main():
     eps = B / p50
     print(f"p50 episode latency: {p50 * 1000:.1f} ms on "
           f"{jax.devices()[0].platform}", file=sys.stderr)
+
+    # 68-keypoint episode (MP-100's largest category; the protocol spans
+    # 9-68 kpts) — reported to stderr alongside the headline 17-kpt number
+    sm68 = np.zeros((B, K), bool)
+    sm68[:, 68:] = True
+    decode68 = jax.jit(
+        lambda p, i, c, m, e: autoregressive_decode(
+            model, p, i, c, m, e, force_length=69)
+    )
+    out = decode68(params, images, sc, sm68, edges)
+    jax.block_until_ready(out["pred_coords"])
+    t68 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = decode68(params, images, sc, sm68, edges)
+        jax.block_until_ready(out["pred_coords"])
+        t68.append(time.perf_counter() - t0)
+    print(f"p50 68-kpt episode latency: {float(np.median(t68)) * 1000:.1f} ms"
+          f" ({B / float(np.median(t68)):.0f} eps/sec)", file=sys.stderr)
+
+    # train step (fwd+loss+bwd+clip+fused AdamW), batch 4, device-resident
+    # batch (the training loop device-puts on the prefetch thread)
+    from cape_tpu.train import create_train_state, make_train_step
+
+    tcfg = cfg.replace(dropout=0.1, batch_size=4, accumulation_steps=1)
+    tb = 4
+    tbatch = jax.device_put(dict(
+        query_images=np.repeat(images, tb, 0),
+        support_coords=np.repeat(sc, tb, 0),
+        support_mask=np.repeat(sm, tb, 0),
+        skeleton_edges=np.repeat(edges, tb, 0),
+        targets={k: np.repeat(v[:1], tb, 0) for k, v in targets.items()},
+    ))
+    state = create_train_state(tcfg, params, steps_per_epoch=100)
+    step = make_train_step(model, tcfg, steps_per_epoch=100)
+    jrng = jax.device_put(jax.random.PRNGKey(0))
+    state, metrics = step(state, tbatch, jrng)
+    jax.block_until_ready(metrics["total"])
+    tt = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        state, metrics = step(state, tbatch, jrng)
+        jax.block_until_ready(metrics["total"])
+        tt.append(time.perf_counter() - t0)
+    tstep = float(np.median(tt))
+    print(f"train step p50 (batch {tb}): {tstep * 1000:.1f} ms "
+          f"({tb / tstep:.0f} queries/sec)", file=sys.stderr)
     print(json.dumps({
         "metric": "episodes_per_sec_1shot_eval",
         "value": round(eps, 4),

@@ -33,6 +33,10 @@ def get_args_parser():
                    help="K-shot override (default: checkpoint config)")
     p.add_argument("--seed", type=int, default=123,
                    help="episode sampling seed (reference default 123)")
+    p.add_argument("--eval_batch_size", type=int, default=None,
+                   help="episodes per decode batch (default: checkpoint "
+                        "config; batch-parallel, replaces the reference's "
+                        "batch-1 protocol)")
     p.add_argument("--pck_threshold", type=float, default=0.2)
     p.add_argument("--output_dir", default=None,
                    help="where to write metrics json (default: checkpoint dir)")
@@ -86,8 +90,11 @@ def main(argv=None):
     mgr = CheckpointManager(os.path.dirname(os.path.abspath(args.checkpoint)))
     state, _ = mgr.restore(args.checkpoint, state)
 
+    eval_b = max(1, min(args.eval_batch_size or cfg.eval_batch_size,
+                        args.num_episodes))
+    n_batches = -(-args.num_episodes // eval_b)
     batches = episode_batches(
-        ds, sampler, 1, args.num_episodes, cfg.image_size,
+        ds, sampler, eval_b, n_batches, cfg.image_size,
         cfg.max_support_keypoints, cfg.max_skeleton_edges,
         np.random.default_rng(args.seed), fixed=fixed,
     )

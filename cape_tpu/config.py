@@ -28,6 +28,12 @@ class CAPEConfig:
     num_support_per_episode: int = 1          # K-shot
     episodes_per_epoch: int = 1000
     val_episodes_per_epoch: int = 200
+    # Episodes per eval/validation decode batch. The reference evaluates one
+    # episode at a time (`eval_cape_checkpoint.py:296-303`) because torch
+    # ragged shapes force it; our episodes are fixed-shape so the decode is
+    # batch-parallel — on an N-chip mesh a batch of N shards one episode per
+    # chip instead of replicating batch-1 work N times.
+    eval_batch_size: int = 8
     fixed_val_episodes: bool = True
     val_seed: int = 42
     category_split_file: str = "category_splits.json"

@@ -6,7 +6,7 @@ with deterministic numpy implementations driven by an explicit
 
 - Affine: ±10% translate, 0.85-1.15 scale, ±30° rotate, p=0.7
 - Horizontal flip, p=0.5
-- Color jitter (brightness/contrast/saturation/hue ±0.2), p=0.6
+- Color jitter (brightness/contrast/saturation ±0.3, hue ±0.1), p=0.6
 - One of {gaussian noise, gaussian blur, motion blur}, p=0.3
 - Deterministic resize to (size, size) with proportional keypoint scaling
 
@@ -81,8 +81,42 @@ def _apply_affine(img, kpts, m):
     return out, pts @ m.T
 
 
-def _color_jitter(img, rng, strength=0.2):
-    """Brightness/contrast/saturation jitter on uint8 RGB."""
+def _hue_shift(img: np.ndarray, factor: float) -> np.ndarray:
+    """Shift hue by `factor` of the full color circle (uint8 RGB).
+
+    Matches `A.ColorJitter(hue=...)` semantics: factor in [-0.5, 0.5],
+    hue channel rotated modulo the circle, S/V untouched.
+    """
+    if _HAS_CV2:
+        shift = int(round(factor * 180.0))
+        if shift == 0:  # identity — skip the lossy uint8 HSV round-trip
+            return img
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        h = hsv[..., 0].astype(np.int32)  # OpenCV hue range [0, 180)
+        hsv[..., 0] = ((h + shift) % 180).astype(np.uint8)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    # numpy fallback: rotate RGB channels continuously via the YIQ-style
+    # chroma rotation (approximate, tests only)
+    x = img.astype(np.float32) / 255.0
+    angle = 2.0 * math.pi * factor
+    cos, sin = math.cos(angle), math.sin(angle)
+    # rotation about the gray axis (1,1,1)/sqrt(3)
+    one3 = 1.0 / 3.0
+    sq3 = math.sqrt(1.0 / 3.0)
+    m = np.full((3, 3), one3 * (1.0 - cos), np.float32)
+    m += np.eye(3, dtype=np.float32) * cos
+    m += sq3 * sin * np.array(
+        [[0, -1, 1], [1, 0, -1], [-1, 1, 0]], np.float32)
+    out = x @ m.T
+    return (np.clip(out, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def _color_jitter(img, rng, strength=0.3, hue_strength=0.1):
+    """Brightness/contrast/saturation/hue jitter on uint8 RGB.
+
+    Strengths match the reference `A.ColorJitter(brightness=0.3,
+    contrast=0.3, saturation=0.3, hue=0.1)` (`mp100_cape.py:920-927`).
+    """
     x = img.astype(np.float32)
     # brightness
     x = x * rng.uniform(1 - strength, 1 + strength)
@@ -92,7 +126,10 @@ def _color_jitter(img, rng, strength=0.2):
     # saturation
     gray = x.mean(axis=-1, keepdims=True)
     x = (x - gray) * rng.uniform(1 - strength, 1 + strength) + gray
-    return np.clip(x, 0, 255).astype(np.uint8)
+    x = np.clip(x, 0, 255).astype(np.uint8)
+    # hue
+    factor = rng.uniform(-hue_strength, hue_strength)
+    return _hue_shift(x, factor)
 
 
 def _gauss_noise(img, rng):

@@ -146,10 +146,12 @@ def collate_episodes(
         bbox_dims       (B, 2) float32 — original (w, h) pixels
         gt_visibility   (B, MAXK) int32 — query keypoint visibility
         num_keypoints   (B,) int32 — per-query category keypoint count
+        sample_valid    (B,) bool — False for episodes that only pad the
+                        batch to a fixed size (excluded from PCK)
     """
     q_images, tgt_lists = [], defaultdict(list)
     sc_list, sm_list, sk_list = [], [], []
-    cids, bdims, vis_list, nkpts = [], [], [], []
+    cids, bdims, vis_list, nkpts, valids = [], [], [], [], []
 
     for ep in episodes:
         supports, queries = ep["supports"], ep["queries"]
@@ -184,6 +186,7 @@ def collate_episodes(
             v[:n] = np.asarray(q["visibility"][:n], np.int32)
             vis_list.append(v)
             nkpts.append(q["num_keypoints"])
+            valids.append(ep.get("valid", True))
 
     return {
         "query_images": np.stack(q_images),
@@ -195,6 +198,7 @@ def collate_episodes(
         "bbox_dims": np.asarray(bdims, np.float32),
         "gt_visibility": np.stack(vis_list),
         "num_keypoints": np.asarray(nkpts, np.int32),
+        "sample_valid": np.asarray(valids, bool),
     }
 
 
@@ -212,7 +216,9 @@ def episode_batches(
     """Yield `num_batches` fixed-shape episode batches.
 
     With `fixed`, iterates a pre-generated episode list (stable validation);
-    otherwise samples fresh episodes each batch.
+    episodes past the end of the list (the tail batch padding to the static
+    batch size) are re-wrapped and flagged `valid=False` so the evaluator
+    skips them and each fixed episode scores exactly once.
     """
     ep_idx = 0
     for _ in range(num_batches):
@@ -220,10 +226,14 @@ def episode_batches(
         for _ in range(batch_episodes):
             if fixed is not None:
                 episode = fixed[ep_idx % len(fixed)]
+                valid = ep_idx < len(fixed)
                 ep_idx += 1
             else:
                 episode = sampler.sample_episode(rng)
-            eps.append(load_episode(dataset, episode, rng, sampler=sampler))
+                valid = True
+            loaded = load_episode(dataset, episode, rng, sampler=sampler)
+            loaded["valid"] = valid
+            eps.append(loaded)
         yield collate_episodes(
             eps, image_size, max_support_keypoints, max_skeleton_edges
         )

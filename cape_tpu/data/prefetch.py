@@ -11,11 +11,18 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator, Optional
 
 
-def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
-    """Iterate `iterable` on a daemon thread, `buffer_size` items ahead."""
+def prefetch(iterable: Iterable, buffer_size: int = 2,
+             transform: Optional[Callable] = None) -> Iterator:
+    """Iterate `iterable` on a daemon thread, `buffer_size` items ahead.
+
+    `transform` (e.g. `shard_batch` -> `jax.device_put`) runs on the
+    producer thread so host->device transfers overlap device compute —
+    measured 3.1 s/step (transfer-bound) vs 6 ms/step (device-resident) on
+    the v5e relay for the flagship batch-4 train step.
+    """
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     error: list = []
@@ -23,6 +30,8 @@ def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
     def producer():
         try:
             for item in iterable:
+                if transform is not None:
+                    item = transform(item)
                 q.put(item)
         except BaseException as e:  # propagate to consumer
             error.append(e)

@@ -104,9 +104,11 @@ def evaluate_cape(
         )
         pred_logits = np.asarray(out["pred_logits"], np.float32)
         pred_coords = np.asarray(out["pred_coords"], np.float32)
+        valid = np.asarray(batch.get(
+            "sample_valid", np.ones(pred_logits.shape[0], bool)))
         # incomplete-generation warning (`roomformer_v2.py:608-621`,
         # WARN_INCOMPLETE_GENERATION env toggle)
-        n_unfinished = int(np.asarray(out["unfinished"]).sum())
+        n_unfinished = int((np.asarray(out["unfinished"]) & valid).sum())
         if n_unfinished and os.environ.get("WARN_INCOMPLETE_GENERATION", "1") == "1":
             warnings.warn(
                 f"{n_unfinished} sequence(s) hit max_len={cfg.seq_len} "
@@ -126,6 +128,8 @@ def evaluate_cape(
         vis = np.asarray(batch["gt_visibility"])
         cids = np.asarray(batch["category_ids"])
         for i in range(len(preds)):
+            if not valid[i]:  # static-batch padding episode
+                continue
             n = int(expected[i])
             gt = gts[i]
             if len(gt) < n:  # safety: pad GT like predictions

@@ -262,10 +262,11 @@ def autoregressive_decode(
     defaults (zero logits/coords, valid=False).
 
     Returns dict:
-        pred_logits (B, L, 3), pred_coords (B, L, 2) — per-step head outputs
+        pred_logits (B, L, 3) — per-step class-head logits
+        pred_coords (B, L, 2) — per-step coordinates (clipped to [0,1])
         gen_valid   (B, L) bool — True where a coordinate was generated
-        gen_coords  (B, L, 2) — generated coordinates (clipped to [0,1])
         lengths     (B,) int32 — generated tokens incl. EOS
+        unfinished  (B,) bool — True if a sample hit max_len without EOS
     """
     cfg = model.cfg
     tok = DiscreteTokenizer(num_bins=cfg.num_bins, seq_len=cfg.seq_len)

@@ -122,11 +122,14 @@ def train_loop(
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         logger = MetricLogger()
+        # shard/device-put on the prefetch thread: transfers overlap the
+        # previous step's device compute (per-call transfer latency over
+        # the device link otherwise dominates the 6 ms train step)
         batches = prefetch(episode_batches(
             train_ds, sampler, cfg.batch_size, steps_per_epoch,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, rng,
-        ))
+        ), transform=lambda b: shard_batch(b, mesh))
         for it, batch in enumerate(logger.log_every(
                 batches, print_freq, header=f"Epoch [{epoch}]")):
             # xprof tracing of steps 2-4 of the first epoch (jax.profiler;
@@ -134,7 +137,6 @@ def train_loop(
             # cudnn_benchmark knob, SURVEY.md §5.1)
             if cfg.profile_dir and epoch == start_epoch and it == 2:
                 jax.profiler.start_trace(cfg.profile_dir)
-            batch = shard_batch(batch, mesh)
             jrng, step_rng = jax.random.split(jrng)
             state, metrics = train_step(state, batch, step_rng)
             if cfg.profile_dir and epoch == start_epoch and it == 4:
@@ -154,8 +156,13 @@ def train_loop(
             )
 
         # ---- validation ----
+        # batched decode: B episodes per step (one per chip on an N-chip
+        # mesh) instead of the reference's batch-1 protocol — same episodes,
+        # ~eval_batch_size x less redundant work (VERDICT weak item 7)
+        eval_b = max(1, min(cfg.eval_batch_size, cfg.val_episodes_per_epoch))
+        n_val_batches = -(-cfg.val_episodes_per_epoch // eval_b)
         val_batches = episode_batches(
-            val_ds, val_sampler, 1, cfg.val_episodes_per_epoch,
+            val_ds, val_sampler, eval_b, n_val_batches,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, np.random.default_rng(cfg.val_seed),
             fixed=fixed_val,

@@ -53,4 +53,7 @@ def test_sharded_train_step_matches_single_device():
     leaves_8 = jax.tree_util.tree_leaves(params_8)
     assert len(leaves_1) == len(leaves_8)
     for a, b in zip(leaves_1, leaves_8):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+        # atol 1e-5: the 8-way psum reduces grads in a different order than
+        # the single-device sum; post-Adam the worst observed leaf deviation
+        # is ~6e-6 on O(0.1) weights
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
