@@ -8,11 +8,16 @@ seq_len 200), batch = 1 episode (the reference eval protocol,
 + 200 scan steps with KV caches). Reported value = episodes/sec (p50 over
 timed runs); also prints p50 episode latency to stderr.
 
-Baseline: the reference publishes no benchmark numbers (BASELINE.md). Its
-captured training log shows 8-13 s per teacher-forced iteration on Apple
-MPS; an autoregressive eval episode on PyTorch-CPU (200 sequential decoder
-steps with per-step host sync) is estimated at ~2 s => 0.5 episodes/sec.
-vs_baseline = value / 0.5 against that documented estimate (target >= 5x).
+Baseline: the reference publishes no benchmark numbers (BASELINE.md), so we
+MEASURED it: `scripts/bench_reference_baseline.py` imports the reference
+implementation read-only, builds the CAPE-default transformer + geometric
+support encoder on torch-CPU, and times the same 18-token forced episode
+protocol (support encode + 6-layer deformable encoder + 18 KV-cached decode
+steps with the reference's host-side per-step re-tokenization). Measured
+2026-08-16 on this container: 0.3204 episodes/sec (3.12 s/episode:
+encoder 2.16 s, 17 decode steps 0.95 s, support 5 ms) — with the ResNet-50
+backbone and input projections EXCLUDED (torchvision unavailable), so the
+true reference throughput is LOWER and vs_baseline understates the speedup.
 """
 
 from __future__ import annotations
@@ -23,7 +28,8 @@ import time
 
 import numpy as np
 
-BASELINE_EPISODES_PER_SEC = 0.5  # documented PyTorch-CPU estimate (see above)
+# measured torch-CPU reference throughput (scripts/bench_reference_baseline.py)
+BASELINE_EPISODES_PER_SEC = 0.3204
 
 
 def main():
