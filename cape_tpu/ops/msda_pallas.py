@@ -15,6 +15,16 @@ runtime; `cape_tpu.models.deformable` falls back to the XLA-gather core
 (`cape_tpu.ops.msda`) when unsupported or when `cfg.use_pallas_msda` is
 off. Forward-only: training uses the XLA core (autodiff); this kernel
 targets inference/serving.
+
+STATUS (round 2, measured on v5e — details in PERF.md): the current Mosaic
+toolchain compiles trivial kernels but rejects this kernel's
+arbitrary-size row gather (`_gather_lowering_rule` requires same-shape
+take_along_axis), so `pallas_supported()` returns False on hardware and the
+XLA core serves all traffic. That is the RIGHT outcome: the XLA core
+measures 26 us at the flagship encoder shape — within 2x of the HBM
+roofline lower bound (13.6 us) — so a Pallas win is capped at ~5% of
+episode latency. Kept as the starting point for a future Mosaic with
+general gathers; validated in interpret mode by tests/test_msda_pallas.py.
 """
 
 from __future__ import annotations
