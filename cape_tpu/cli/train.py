@@ -120,10 +120,15 @@ def main(argv=None):
 
     from ..data.builder import build_mp100_cape, resolve_split_file
     from ..models import CAPE
+    from ..parallel import is_main, maybe_initialize
     from ..train.loop import train_loop
 
-    print(f"JAX devices: {jax.devices()}", flush=True)
-    print(cfg.to_json(), flush=True)
+    # multi-host: must run before the first backend-initializing jax call
+    maybe_initialize()
+    if is_main():
+        print(f"JAX devices: {jax.devices()} "
+              f"({jax.process_count()} process(es))", flush=True)
+        print(cfg.to_json(), flush=True)
     np.random.seed(cfg.seed)
 
     train_ds = build_mp100_cape("train", cfg)

@@ -1,3 +1,13 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .distributed import (allreduce_sum_dict, global_replicate_batch,
+                          global_shard_batch, host_rng,
+                          is_main, local_episode_count, maybe_initialize,
+                          process_count, process_index)
+from .mesh import make_mesh, replicate, shard_batch
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh", "shard_batch", "replicate",
+    "maybe_initialize", "is_main", "process_count", "process_index",
+    "local_episode_count", "host_rng", "global_shard_batch",
+    "global_replicate_batch",
+    "allreduce_sum_dict",
+]

@@ -1,0 +1,156 @@
+"""Multi-host distributed runtime — TPU-native equivalents of the
+reference's (never-engaged) DDP scaffolding.
+
+Reference analogue (`util/misc.py:341-377`, SURVEY.md §5.8):
+`init_distributed_mode` (env-rank / SLURM + NCCL process group),
+`reduce_dict`, `save_on_master`, `setup_for_distributed`. Here the
+TPU-native versions are functional:
+
+- `maybe_initialize()` — `jax.distributed.initialize()`: on TPU pods the
+  coordinator/process topology auto-detects from the TPU metadata; on
+  CPU/GPU clusters (and in the multi-process CPU test) it reads
+  CAPE_COORDINATOR / CAPE_NUM_PROCESSES / CAPE_PROCESS_ID.
+- per-host input sharding — each host loads only its slice of the global
+  episode batch; `global_shard_batch` assembles the global jax.Arrays with
+  `jax.make_array_from_process_local_data` (the role of DDP's
+  DistributedSampler).
+- `is_main()` gating for checkpoint writes and logging
+  (reference `save_on_master` / `setup_for_distributed`).
+- `allreduce_sum_dict` — cross-host scalar-metric reduction
+  (reference `reduce_dict`), via `multihost_utils.process_allgather`.
+
+Gradient reduction itself needs none of this: params are replicated over
+the global mesh, so XLA inserts the cross-host psum inside the jitted train
+step (ICI within a slice, DCN across slices).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_INITIALIZED = False
+
+
+def maybe_initialize() -> bool:
+    """Initialize JAX's distributed runtime when launched multi-process.
+
+    Returns True if running multi-process after the call. Safe to call
+    multiple times and in single-process runs (no-op).
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return jax.process_count() > 1
+    coord = os.environ.get("CAPE_COORDINATOR")
+    nproc = os.environ.get("CAPE_NUM_PROCESSES")
+    if coord and nproc:
+        # MUST run before anything initializes the XLA backend
+        # (jax.devices()/process_count()/device_put all do)
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("CAPE_PROCESS_ID", "0")),
+        )
+        _INITIALIZED = True
+        return True
+    if jax.process_count() > 1:  # initialized by the launcher already
+        _INITIALIZED = True
+        return True
+    # On TPU pod slices the runtime auto-detects topology; initialize()
+    # with no args is required for multi-host pods and harmless single-host
+    # only when more than one process is present — which we cannot detect
+    # without the metadata server, so leave single-host runs untouched.
+    return False
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main() -> bool:
+    """True on the process that should write checkpoints/logs
+    (reference `save_on_master`, `util/misc.py:338-340`)."""
+    return jax.process_index() == 0
+
+
+def local_episode_count(global_batch: int,
+                        n_processes: Optional[int] = None,
+                        index: Optional[int] = None) -> int:
+    """Per-host share of a global episode batch (per-host input sharding).
+
+    The global batch must divide evenly so every host contributes the same
+    fixed shapes (XLA requirement); raises otherwise.
+    """
+    n = n_processes if n_processes is not None else jax.process_count()
+    i = index if index is not None else jax.process_index()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {n} processes")
+    del i  # same count on every host; offset handled by the sampler seed
+    return global_batch // n
+
+
+def host_rng(seed: int, epoch: int = 0) -> np.random.Generator:
+    """Per-host episodic sampling stream: disjoint by process index
+    (the role of DDP's sampler sharding — hosts draw different episodes)."""
+    return np.random.default_rng([seed, jax.process_index(), epoch])
+
+
+def global_shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Assemble per-host numpy batches into global arrays sharded on the
+    leading axis of `mesh`. Multi-process generalization of
+    `mesh.shard_batch`: each host contributes its local slice.
+    """
+    if jax.process_count() == 1:
+        from .mesh import shard_batch
+
+        return shard_batch(batch, mesh, axis)
+
+    def put(x):
+        if np.ndim(x) >= 1:
+            spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        else:
+            spec = P()
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def global_replicate_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Replicate a batch every host holds in full onto the global mesh
+    (multi-process validation: all hosts decode the same fixed episodes in
+    lockstep, so checkpoint/early-stop decisions stay identical without any
+    cross-host metric communication)."""
+    if jax.process_count() == 1:
+        from .mesh import replicate
+
+        return replicate(batch, mesh)
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch)
+
+
+def allreduce_sum_dict(metrics: Dict[str, float]) -> Dict[str, float]:
+    """Sum scalar metrics across hosts (reference `reduce_dict`,
+    `util/misc.py:128-153`). No-op single-process."""
+    if jax.process_count() == 1:
+        return dict(metrics)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    local = np.asarray([float(metrics[k]) for k in keys], np.float64)
+    gathered = multihost_utils.process_allgather(local)  # (P, K)
+    summed = np.asarray(gathered).sum(axis=0)
+    return {k: float(v) for k, v in zip(keys, summed)}

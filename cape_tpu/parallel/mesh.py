@@ -51,6 +51,16 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully-replicate a pytree (params/opt state) over the mesh."""
+    """Fully-replicate a pytree (params/opt state) over the mesh.
+
+    Works on multi-host meshes too: every process must hold identical host
+    values (true for seeded init / restored checkpoints), contributed via
+    `make_array_from_process_local_data`.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

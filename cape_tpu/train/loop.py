@@ -23,7 +23,10 @@ from ..data.episodic import EpisodicSampler, episode_batches
 from ..data.prefetch import prefetch
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import (global_replicate_batch, global_shard_batch, host_rng,
+                        is_main, local_episode_count, make_mesh,
+                        maybe_initialize, process_count, replicate,
+                        shard_batch)
 from ..utils.checkpoint import (CheckpointManager, jax_rng_state,
                                 numpy_rng_state, restore_jax_rng)
 from ..utils.logging import MetricLogger
@@ -41,6 +44,12 @@ def train_loop(
     print_freq: int = 10,
 ) -> Dict:
     """Run the full training. Returns final stats dict."""
+    # multi-host: initialize the distributed runtime if launched
+    # multi-process (TPU pod / CAPE_COORDINATOR env — SURVEY.md §5.8)
+    maybe_initialize()
+    multi = process_count() > 1
+    if not is_main():
+        print_freq = 0  # log gating (reference setup_for_distributed)
     overfit = cfg.debug_overfit_category >= 0
     sampler = EpisodicSampler(
         train_ds, category_split_file, "train",
@@ -72,13 +81,17 @@ def train_loop(
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     episodes = cfg.debug_overfit_episodes if overfit else cfg.episodes_per_epoch
     steps_per_epoch = max(episodes // cfg.batch_size, 1)
-
-    rng = np.random.default_rng(cfg.seed)
-    jrng = jax.random.PRNGKey(cfg.seed)
+    # per-host input sharding: each host loads its slice of the global
+    # episode batch from a process-disjoint sampling stream (the TPU-native
+    # DistributedSampler; reference DDP analogue `util/misc.py:341-377`)
+    local_batch = local_episode_count(cfg.batch_size) if multi else cfg.batch_size
+    rng = host_rng(cfg.seed) if multi else np.random.default_rng(cfg.seed)
+    jrng = jax.random.PRNGKey(cfg.seed)  # identical across hosts (dropout
+    # keys must agree: the train step runs one global SPMD program)
 
     # init params on a probe batch
     probe = next(episode_batches(
-        train_ds, sampler, cfg.batch_size, 1, cfg.image_size,
+        train_ds, sampler, local_batch, 1, cfg.image_size,
         cfg.max_support_keypoints, cfg.max_skeleton_edges, rng,
     ))
     variables = model.init(
@@ -94,11 +107,13 @@ def train_loop(
         variables["params"]["backbone"] = load_torch_resnet50_npz(
             variables["params"]["backbone"], cfg.resnet_weights
         )
-        print(f"Loaded ImageNet backbone weights from {cfg.resnet_weights}",
-              flush=True)
+        if is_main():
+            print(f"Loaded ImageNet backbone weights from "
+                  f"{cfg.resnet_weights}", flush=True)
     state = create_train_state(cfg, variables, steps_per_epoch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
-    print(f"Model parameters: {n_params:,}", flush=True)
+    if is_main():
+        print(f"Model parameters: {n_params:,}", flush=True)
 
     ckpt = CheckpointManager(cfg.output_dir)
     start_epoch, best_pck, patience = 0, 0.0, 0
@@ -107,12 +122,17 @@ def train_loop(
         start_epoch = meta["epoch"] + 1
         best_pck = meta.get("best_pck", 0.0)
         patience = meta.get("patience", 0)
-        if meta.get("rng_state"):
+        if meta.get("rng_state") and not multi:
+            # single-host: exact data-order resume. Multi-host re-derives
+            # process-disjoint streams instead (the saved state is host 0's).
             rng.bit_generator.state = meta["rng_state"]
+        elif multi:
+            rng = host_rng(cfg.seed, epoch=start_epoch)
         if meta.get("jrng_state"):
             jrng = restore_jax_rng(meta["jrng_state"])  # exact dropout resume
-        print(f"Resumed from {resume} at epoch {start_epoch} "
-              f"(best PCK {best_pck:.2%})", flush=True)
+        if is_main():
+            print(f"Resumed from {resume} at epoch {start_epoch} "
+                  f"(best PCK {best_pck:.2%})", flush=True)
 
     state = replicate(state, mesh)
     train_step = make_train_step(model, cfg, steps_per_epoch)
@@ -125,11 +145,13 @@ def train_loop(
         # shard/device-put on the prefetch thread: transfers overlap the
         # previous step's device compute (per-call transfer latency over
         # the device link otherwise dominates the 6 ms train step)
+        to_device = ((lambda b: global_shard_batch(b, mesh)) if multi
+                     else (lambda b: shard_batch(b, mesh)))
         batches = prefetch(episode_batches(
-            train_ds, sampler, cfg.batch_size, steps_per_epoch,
+            train_ds, sampler, local_batch, steps_per_epoch,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, rng,
-        ), transform=lambda b: shard_batch(b, mesh))
+        ), transform=to_device)
         for it, batch in enumerate(logger.log_every(
                 batches, print_freq, header=f"Epoch [{epoch}]")):
             # xprof tracing of steps 2-4 of the first epoch (jax.profiler;
@@ -167,17 +189,23 @@ def train_loop(
             cfg.max_skeleton_edges, np.random.default_rng(cfg.val_seed),
             fixed=fixed_val,
         )
+        # multi-host: every host decodes the SAME fixed episodes in lockstep
+        # (replicated onto the global mesh) so PCK — and therefore the
+        # checkpoint/early-stop decisions — agree without cross-host comms
+        to_val = ((lambda b: global_replicate_batch(b, mesh)) if multi
+                  else (lambda b: shard_batch(b, mesh)))
         val_stats = evaluate_cape(
-            model, state.params, map(lambda b: shard_batch(b, mesh), val_batches),
+            model, state.params, map(to_val, val_batches),
             cfg, compute_loss=True, eval_loss_fn=eval_loss_fn,
         )
         pck = val_stats["pck"]
         train_loss = logger.meters["loss"].global_avg
-        print(
-            f"Epoch {epoch}: train loss {train_loss:.4f} | val PCK@0.2 "
-            f"{pck:.2%} (macro {val_stats['pck_mean_categories']:.2%}) | "
-            f"{time.time() - t0:.1f}s", flush=True,
-        )
+        if is_main():
+            print(
+                f"Epoch {epoch}: train loss {train_loss:.4f} | val PCK@0.2 "
+                f"{pck:.2%} (macro {val_stats['pck_mean_categories']:.2%}) | "
+                f"{time.time() - t0:.1f}s", flush=True,
+            )
         # overfitting heuristic banner (reference
         # `train_cape_episodic.py:793-835` val/train ratio banding)
         val_loss = val_stats.get("total", 0.0)
@@ -192,23 +220,32 @@ def train_loop(
         history.append({"epoch": epoch, "train_loss": train_loss, "pck": pck})
 
         # ---- checkpointing / early stopping ----
+        # multi-host: state is replicated, so process 0 alone writes
+        # (reference `save_on_master`, util/misc.py:338-340); the host-numpy
+        # conversion keeps the orbax write local to that process
+        save_state = (jax.tree_util.tree_map(np.asarray, state)
+                      if multi else state)
         improved = pck > best_pck
         if improved:
             best_pck = pck
             patience = 0
-            ckpt.save_best(state, epoch, pck, cfg, best_pck, patience,
-                           rng_state=numpy_rng_state(rng),
-                           jrng_state=jax_rng_state(jrng))
+            if is_main():
+                ckpt.save_best(save_state, epoch, pck, cfg, best_pck,
+                               patience, rng_state=numpy_rng_state(rng),
+                               jrng_state=jax_rng_state(jrng))
         else:
             patience += 1
-        ckpt.save_epoch(state, epoch, cfg, best_pck, patience,
-                        rng_state=numpy_rng_state(rng),
-                        jrng_state=jax_rng_state(jrng),
-                        extra={"val_stats": {k: v for k, v in val_stats.items()
-                                             if np.isscalar(v)}})
+        if is_main():
+            ckpt.save_epoch(save_state, epoch, cfg, best_pck, patience,
+                            rng_state=numpy_rng_state(rng),
+                            jrng_state=jax_rng_state(jrng),
+                            extra={"val_stats": {
+                                k: v for k, v in val_stats.items()
+                                if np.isscalar(v)}})
         if cfg.early_stopping_patience and patience >= cfg.early_stopping_patience:
-            print(f"Early stopping at epoch {epoch} "
-                  f"(no PCK improvement for {patience} epochs)", flush=True)
+            if is_main():
+                print(f"Early stopping at epoch {epoch} (no PCK "
+                      f"improvement for {patience} epochs)", flush=True)
             break
 
     ckpt.wait()  # flush the last async checkpoint write
