@@ -38,6 +38,14 @@ def get_args_parser():
                         "config; batch-parallel, replaces the reference's "
                         "batch-1 protocol)")
     p.add_argument("--pck_threshold", type=float, default=0.2)
+    p.add_argument("--pck_norm", default="original_bbox",
+                   choices=["original_bbox", "resized"],
+                   help="normalize PCK by the original bbox diagonal "
+                        "(engine_cape.py default) or the resized "
+                        "image_size dims (eval_cape_checkpoint.py:530-537)")
+    p.add_argument("--gt_structure", action="store_true",
+                   help="extract predicted keypoints at GT token positions "
+                        "(reference fallback, engine_cape.py:1015-1022)")
     p.add_argument("--output_dir", default=None,
                    help="where to write metrics json (default: checkpoint dir)")
     return p
@@ -99,7 +107,9 @@ def main(argv=None):
         np.random.default_rng(args.seed), fixed=fixed,
     )
     stats = evaluate_cape(model, state.params, batches, cfg,
-                          pck_threshold=args.pck_threshold, print_freq=20)
+                          pck_threshold=args.pck_threshold, print_freq=20,
+                          pck_norm=args.pck_norm,
+                          gt_structure_fallback=args.gt_structure)
 
     print(f"\n{'=' * 60}")
     print(f"PCK@{args.pck_threshold} ({args.split}, "

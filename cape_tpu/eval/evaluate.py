@@ -86,9 +86,24 @@ def evaluate_cape(
     compute_loss: bool = False,
     eval_loss_fn=None,
     print_freq: int = 0,
+    pck_norm: str = "original_bbox",
+    gt_structure_fallback: bool = False,
 ) -> Dict:
     """Run autoregressive eval over episode batches. Returns stats dict with
-    pck, pck_mean_categories, per-category PCK, counts (+ losses)."""
+    pck, pck_mean_categories, per-category PCK, counts (+ losses).
+
+    `pck_norm` selects the reference's two (inconsistent) normalizations
+    (SURVEY.md §7.5): 'original_bbox' divides the pixel distance by the
+    ORIGINAL bbox diagonal (`engine_cape.py:743-747, 1028-1063`, the
+    engine default — ours too); 'resized' pins the post-resize
+    image_size x image_size dims (`eval_cape_checkpoint.py:530-537`).
+
+    `gt_structure_fallback=True` extracts predicted keypoints at the GT
+    token-label positions instead of the predicted labels — the reference's
+    `evaluate_unseen_categories` fallback (`engine_cape.py:1015-1022`),
+    useful for isolating coordinate quality from token-type errors."""
+    if pck_norm not in ("original_bbox", "resized"):
+        raise ValueError(f"pck_norm={pck_norm!r}: 'original_bbox'|'resized'")
     evaluator = PCKEvaluator(threshold=pck_threshold)
     logger = MetricLogger()
     decode = jax.jit(
@@ -121,7 +136,15 @@ def evaluate_cape(
         active = np.arange(pred_logits.shape[1])[None, :] < lengths[:, None]
 
         expected = np.asarray(batch["num_keypoints"])
-        preds = extract_pred_keypoints(pred_logits, pred_coords, active, expected)
+        if gt_structure_fallback:
+            # predicted coords at GT coord positions (the first N steps —
+            # GT labels are [coord]*N + eos): token-type mistakes don't
+            # shift the extraction (`engine_cape.py:1015-1022`)
+            preds = [pred_coords[i, : int(expected[i])]
+                     for i in range(pred_coords.shape[0])]
+        else:
+            preds = extract_pred_keypoints(pred_logits, pred_coords, active,
+                                           expected)
         gts = extract_gt_keypoints(batch["targets"], expected)
 
         bbox = np.asarray(batch["bbox_dims"])
@@ -134,11 +157,15 @@ def evaluate_cape(
             gt = gts[i]
             if len(gt) < n:  # safety: pad GT like predictions
                 gt = np.concatenate([gt, np.zeros((n - len(gt), 2))], axis=0)
+            if pck_norm == "resized":
+                bw = bh = float(cfg.image_size)
+            else:
+                bw, bh = float(bbox[i, 0]), float(bbox[i, 1])
             evaluator.add_sample(
                 preds[i] * cfg.image_size,
                 gt * cfg.image_size,
-                bbox_width=float(bbox[i, 0]),
-                bbox_height=float(bbox[i, 1]),
+                bbox_width=bw,
+                bbox_height=bh,
                 category_id=int(cids[i]),
                 visibility=vis[i, :n],
             )

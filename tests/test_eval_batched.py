@@ -190,3 +190,31 @@ def test_min_decode_len_suppresses_early_eos():
     np.testing.assert_array_equal(lengths, cfg.min_decode_len + 1)
     assert int(np.asarray(out["gen_valid"]).sum()) == B * cfg.min_decode_len
     assert not bool(np.asarray(out["unfinished"]).any())
+
+
+def test_pck_norm_and_gt_structure_flags(env):
+    """The alternate eval paths (`engine_cape.py:1015-1063` /
+    `eval_cape_checkpoint.py:530-537`): 'resized' normalization changes the
+    PCK denominator, GT-structure extraction counts the same visible
+    keypoints but reads coords at GT token positions."""
+    cfg, val_ds, paths, model, params, sampler = env
+    fixed = sampler.fixed_episodes(4, seed=11)
+
+    def stats(**kw):
+        batches = episode_batches(
+            val_ds, sampler, 2, 2, cfg.image_size,
+            cfg.max_support_keypoints, cfg.max_skeleton_edges,
+            np.random.default_rng(11), fixed=fixed)
+        return evaluate_cape(model, params["params"], batches, cfg, **kw)
+
+    base = stats()
+    resized = stats(pck_norm="resized")
+    gts = stats(gt_structure_fallback=True)
+    # same episodes, same visible-keypoint totals in every mode
+    assert base["pck_num_visible"] == resized["pck_num_visible"]
+    assert base["pck_num_visible"] == gts["pck_num_visible"]
+    for s in (base, resized, gts):
+        assert 0.0 <= s["pck"] <= 1.0
+    # invalid norm rejected
+    with pytest.raises(ValueError):
+        stats(pck_norm="bogus")
