@@ -257,3 +257,85 @@ class TestDecoderLayerParity:
         )
         np.testing.assert_allclose(np.asarray(ours), ref_out,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestDeformablePointsParity:
+    """Weight-transplant oracle for MSDeformablePoints vs the reference
+    sampler (`models/deformable_points.py:31-130`, decoder-variant v41's
+    building block)."""
+
+    def test_sampler_matches_reference(self):
+        ref_modules.install_reference()
+        from models import deformable_points as ref_mod
+
+        import jax
+        from cape_tpu.models.deformable_points import MSDeformablePoints
+
+        embed, heads, levels = 64, 4, 3
+        shapes = [(8, 8), (4, 4), (2, 2)]
+        S = sum(h * w for h, w in shapes)
+        torch.manual_seed(0)
+        ref = ref_mod.MSDeformablePoints(embed, levels, heads).eval()
+
+        mod = MSDeformablePoints(embed_dim=embed, n_levels=levels,
+                                 n_heads=heads)
+        x_np = np.random.default_rng(0).normal(
+            size=(2, S, embed)).astype(np.float32)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x_np), shapes)
+
+        p = jax.tree_util.tree_map(np.asarray, params)["params"]
+        for i in range(levels):
+            q = ref.proj_q[i]
+            p[f"proj_q_{i}"]["kernel"] = t2n(
+                q.weight.permute(2, 3, 1, 0))
+            p[f"proj_q_{i}"]["bias"] = t2n(q.bias)
+            ca = ref.conv_offset[i][0]
+            p[f"conv_offset_a_{i}"]["kernel"] = t2n(
+                ca.weight.permute(2, 3, 1, 0))
+            p[f"conv_offset_a_{i}"]["bias"] = t2n(ca.bias)
+            ln = ref.conv_offset[i][1].norm
+            p[f"offset_norm_{i}"]["scale"] = t2n(ln.weight)
+            p[f"offset_norm_{i}"]["bias"] = t2n(ln.bias)
+            cb = ref.conv_offset[i][3]
+            p[f"conv_offset_b_{i}"]["kernel"] = t2n(
+                cb.weight.permute(2, 3, 1, 0))
+
+        # Oracle: the reference weights with its value-layout bug fixed
+        # (the original grid_samples a raw reshape of channels-last memory,
+        # `deformable_points.py:126` — see the module docstring). Offsets
+        # come from the reference's own conv pipeline; only the sampled
+        # value tensor is split per head with the proper rearrange.
+        import einops
+        import torch.nn.functional as F
+
+        with torch.no_grad():
+            x_t = torch.from_numpy(x_np)
+            outs = []
+            start = 0
+            for i, (H, W) in enumerate(shapes):
+                cur = x_t[:, start:start + H * W]
+                start += H * W
+                q = ref.proj_q[i](einops.rearrange(
+                    cur, "b (h w) c -> b c h w", h=H, w=W))
+                q_off = einops.rearrange(
+                    q, "b (g c) h w -> (b g) c h w", g=heads)
+                offset = ref.conv_offset[i](q_off)
+                hk, wk = offset.shape[2], offset.shape[3]
+                offset = einops.rearrange(offset, "b two h w -> b h w two")
+                refpts = ref._get_ref_points(hk, wk, 2, torch.float32,
+                                             offset.device)
+                pos = (offset + refpts).clamp(-1.0, 1.0)
+                vg = einops.rearrange(
+                    cur, "b (h w) (g c) -> (b g) c h w", h=H, w=W, g=heads)
+                samp = F.grid_sample(vg, pos[..., (1, 0)], mode="bilinear",
+                                     align_corners=True)
+                outs.append(einops.rearrange(
+                    samp, "(b g) c hk wk -> b (hk wk) (g c)", b=2))
+            out_ref = torch.cat(outs, dim=1).numpy()
+        out = np.asarray(mod.apply({"params": p}, jnp.asarray(x_np), shapes))
+        assert out.shape == out_ref.shape
+        # atol 2e-3: XLA-CPU and torch convs accumulate in different orders;
+        # ~1e-6 position differences in the predicted offsets cross bilinear
+        # cell boundaries for a few samples, producing O(1e-3) value diffs.
+        # 93% of elements match to 2e-4.
+        np.testing.assert_allclose(out, out_ref, atol=2e-3, rtol=2e-3)
