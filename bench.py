@@ -101,6 +101,26 @@ def main():
     print(f"p50 68-kpt episode latency: {float(np.median(t68)) * 1000:.1f} ms"
           f" ({B / float(np.median(t68)):.0f} eps/sec)", file=sys.stderr)
 
+    # batched decode throughput (serving mode): the reference is locked to
+    # batch 1 by ragged torch shapes; our fixed-shape episodes batch freely
+    B8 = 8
+    images8 = np.repeat(images, B8, 0)
+    sc8 = np.repeat(sc, B8, 0)
+    sm8 = np.repeat(sm, B8, 0)
+    edges8 = np.repeat(edges, B8, 0)
+    args8 = jax.device_put((images8, sc8, sm8, edges8))
+    out = decode(params, *args8)
+    jax.block_until_ready(out["pred_coords"])
+    t8 = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = decode(params, *args8)
+        jax.block_until_ready(out["pred_coords"])
+        t8.append(time.perf_counter() - t0)
+    p50_8 = float(np.median(t8))
+    print(f"batched decode (B=8): {p50_8 * 1000:.2f} ms -> "
+          f"{B8 / p50_8:.0f} eps/sec/chip throughput", file=sys.stderr)
+
     # train step (fwd+loss+bwd+clip+fused AdamW), batch 4, device-resident
     # batch (the training loop device-puts on the prefetch thread)
     from cape_tpu.train import create_train_state, make_train_step
