@@ -39,19 +39,27 @@ class COCOIndex:
         return self.img_to_anns.get(img_id, [])
 
     def category_skeleton(self, category_id: int) -> List[List[int]]:
-        """Skeleton edges for a category, passed through raw.
+        """Skeleton edges for a category, normalized to 0-indexed.
 
-        The reference forwards skeletons exactly as stored in the annotation
-        file with no index shift (`mp100_cape.py:494-517`); out-of-range
-        edges are filtered later when building the adjacency matrix
-        (`models/graph_utils.py:54-63`). We preserve that behavior for
-        parity.
+        COCO-convention skeletons are 1-indexed (keypoint 1 = index 0; MP-100
+        follows it). The reference forwards them RAW into a 0-indexed
+        adjacency builder (`mp100_cape.py:494-517` ->
+        `models/graph_utils.py:15-63`, whose docstring demands 0-indexed
+        edges) — a systematic off-by-one in its GCN graph prior that its
+        out-of-range filter quietly truncates. Per SURVEY.md §7.5 we do NOT
+        replicate the bug: edges that are 1-indexed (no 0 anywhere in the
+        skeleton) shift down by one here, so the adjacency connects the
+        keypoints the annotation meant. Already-0-indexed skeletons (a 0
+        appears) pass through unchanged.
         """
         cat = self.cats.get(category_id)
         if not cat:
             return []
         skeleton = cat.get("skeleton") or []
-        return [[int(e[0]), int(e[1])] for e in skeleton if len(e) == 2]
+        edges = [[int(e[0]), int(e[1])] for e in skeleton if len(e) == 2]
+        if edges and min(min(e) for e in edges) >= 1:
+            edges = [[a - 1, b - 1] for a, b in edges]
+        return edges
 
     def category_num_keypoints(self, category_id: int) -> Optional[int]:
         cat = self.cats.get(category_id)

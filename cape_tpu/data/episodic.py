@@ -202,6 +202,44 @@ def collate_episodes(
     }
 
 
+def validate_episode_batch(batch: Dict[str, np.ndarray]) -> None:
+    """Host-side episodic-structure validation before the jitted step.
+
+    Parity with the reference's model-entry batch-shape checks
+    (`cape_model.py:99-117`): every leading dim must be the same B
+    (support[i] aligned with query[i] — the 1-shot episodic contract), the
+    support mask must be boolean, coords (B, K, 2), edges (B, E, 2).
+    Raises ValueError with the offending key.
+    """
+    b = batch["query_images"].shape[0]
+    for key in ("support_coords", "support_mask", "skeleton_edges",
+                "category_ids", "bbox_dims", "gt_visibility",
+                "num_keypoints"):
+        if key in batch and batch[key].shape[0] != b:
+            raise ValueError(
+                f"Support-Query batch mismatch: {key} has leading dim "
+                f"{batch[key].shape[0]} but query_images has {b}. This "
+                f"breaks the episodic support[i]<->query[i] alignment "
+                f"(collate must repeat support per query)."
+            )
+    for key, v in batch["targets"].items():
+        if v.shape[0] != b:
+            raise ValueError(
+                f"targets[{key!r}] leading dim {v.shape[0]} != batch {b}")
+    if batch["support_mask"].dtype != np.bool_:
+        raise ValueError(
+            f"support_mask must be bool (True = ignore), got "
+            f"{batch['support_mask'].dtype}")
+    if batch["support_coords"].ndim != 3 or batch["support_coords"].shape[-1] != 2:
+        raise ValueError(
+            f"support_coords must be (B, K, 2), got "
+            f"{batch['support_coords'].shape}")
+    if batch["skeleton_edges"].ndim != 3 or batch["skeleton_edges"].shape[-1] != 2:
+        raise ValueError(
+            f"skeleton_edges must be (B, E, 2), got "
+            f"{batch['skeleton_edges'].shape}")
+
+
 def episode_batches(
     dataset: MP100Dataset,
     sampler: EpisodicSampler,

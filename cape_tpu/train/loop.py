@@ -19,7 +19,8 @@ import jax
 import numpy as np
 
 from ..config import CAPEConfig
-from ..data.episodic import EpisodicSampler, episode_batches
+from ..data.episodic import (EpisodicSampler, episode_batches,
+                             validate_episode_batch)
 from ..data.prefetch import prefetch
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
@@ -145,8 +146,12 @@ def train_loop(
         # shard/device-put on the prefetch thread: transfers overlap the
         # previous step's device compute (per-call transfer latency over
         # the device link otherwise dominates the 6 ms train step)
-        to_device = ((lambda b: global_shard_batch(b, mesh)) if multi
-                     else (lambda b: shard_batch(b, mesh)))
+        def to_device(b):
+            # episodic-structure validation on the producer thread
+            # (reference model-entry checks, cape_model.py:99-117)
+            validate_episode_batch(b)
+            return (global_shard_batch(b, mesh) if multi
+                    else shard_batch(b, mesh))
         batches = prefetch(episode_batches(
             train_ds, sampler, local_batch, steps_per_epoch,
             cfg.image_size, cfg.max_support_keypoints,

@@ -53,8 +53,8 @@ def main():
             os.path.join(ds.root, info["file_name"])).convert("RGB"))[..., ::-1]
         ann = ds.coco.load_anns(img_id)[0]
         kpts3 = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
-        skeleton = ds.coco.category_skeleton(ann["category_id"])
-        skel0 = [[a - 1, b - 1] for a, b in skeleton]  # 1-indexed COCO draw
+        # category_skeleton already normalizes COCO 1-indexed edges to 0
+        skel0 = ds.coco.category_skeleton(ann["category_id"])
         raw_panel = _draw_pose(np.ascontiguousarray(raw), kpts3[:, :2], skel0,
                                kpts3[:, 2], (0, 255, 0))
         bx, by, bw, bh = [int(v) for v in ann["bbox"]]
