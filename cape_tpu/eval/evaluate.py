@@ -37,6 +37,7 @@ import numpy as np
 from ..config import CAPEConfig
 from ..data.token_types import TokenType
 from ..models.cape import CAPE, autoregressive_decode
+from ..utils.debug import debug_enabled
 from ..utils.logging import MetricLogger
 from .pck import PCKEvaluator
 
@@ -154,6 +155,17 @@ def evaluate_cape(
             if not valid[i]:  # static-batch padding episode
                 continue
             n = int(expected[i])
+            # reference env-toggle diagnostics (engine_cape.py:40 family)
+            if debug_enabled("DEBUG_KEYPOINT_COUNT"):
+                print(f"[DEBUG_KEYPOINT_COUNT] cat {int(cids[i])}: "
+                      f"generated {int(lengths[i])} tokens vs expected "
+                      f"{n} coords + EOS", flush=True)
+            if debug_enabled("DEBUG_EXTRACT"):
+                n_coord = int(((pred_logits[i].argmax(-1) == TokenType.coord)
+                               & active[i]).sum())
+                print(f"[DEBUG_EXTRACT] sample {i}: {n_coord} coord tokens "
+                      f"-> {'trim' if n_coord > n else 'pad'} to {n}",
+                      flush=True)
             gt = gts[i]
             if len(gt) < n:  # safety: pad GT like predictions
                 gt = np.concatenate([gt, np.zeros((n - len(gt), 2))], axis=0)
@@ -174,6 +186,12 @@ def evaluate_cape(
             losses = eval_loss_fn(params, batch)
             logger.update(**{k: float(v) for k, v in losses.items()})
         n_batches += 1
+        if debug_enabled("DEBUG_EVAL") or debug_enabled("DEBUG_PCK"):
+            r = evaluator.get_results()
+            print(f"[DEBUG_EVAL] batch {n_batches}: "
+                  f"{int(valid.sum())} samples, running PCK "
+                  f"{r['pck_overall']:.2%} "
+                  f"({r['total_correct']}/{r['total_visible']})", flush=True)
         if print_freq and n_batches % print_freq == 0:
             r = evaluator.get_results()
             print(f"[eval] batch {n_batches}: PCK so far "

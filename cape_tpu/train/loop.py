@@ -28,6 +28,7 @@ from ..parallel import (global_replicate_batch, global_shard_batch, host_rng,
                         is_main, local_episode_count, make_mesh,
                         maybe_initialize, process_count, replicate,
                         shard_batch)
+from ..utils.debug import debug_enabled
 from ..utils.checkpoint import (CheckpointManager, jax_rng_state,
                                 numpy_rng_state, restore_jax_rng)
 from ..utils.logging import MetricLogger
@@ -181,6 +182,11 @@ def train_loop(
                 loss_coords=float(metrics["loss_coords"]),
                 grad_norm=float(metrics["grad_norm"]),
             )
+            if debug_enabled("DEBUG_CAPE"):
+                parts = " ".join(f"{k}={float(v):.4f}"
+                                 for k, v in sorted(metrics.items()))
+                print(f"[DEBUG_CAPE] epoch {epoch} it {it}: {parts}",
+                      flush=True)
 
         # ---- validation ----
         # batched decode: B episodes per step (one per chip on an N-chip

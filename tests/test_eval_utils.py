@@ -117,3 +117,19 @@ class TestExtraction:
         with pytest.warns(RuntimeWarning):
             assert compare_pred_gt_keypoints(a, a.copy())
         assert not compare_pred_gt_keypoints(a, a + 0.1)
+
+
+def test_debug_env_toggles(monkeypatch, capsys):
+    """The reference's DEBUG_* env family (SURVEY §5.5): toggles are off by
+    default and emit tagged lines when set to 1."""
+    from cape_tpu.utils.debug import dbg, debug_enabled
+
+    monkeypatch.delenv("DEBUG_PCK", raising=False)
+    assert not debug_enabled("DEBUG_PCK")
+    dbg("DEBUG_PCK", "hidden")
+    assert capsys.readouterr().out == ""
+
+    monkeypatch.setenv("DEBUG_PCK", "1")
+    assert debug_enabled("DEBUG_PCK")
+    dbg("DEBUG_PCK", "visible")
+    assert "[DEBUG_PCK] visible" in capsys.readouterr().out
