@@ -5,7 +5,6 @@ Parity targets:
   (`models/position_encoding.py:8-40`). All images in this framework are
   resized to a fixed square, so the reference's cumsum-over-mask reduces to
   a deterministic function of (h, w) — no NestedTensor needed.
-- `sincos_1d_table`: decoder absolute PE table
   (`models/deformable_transformer_v2.py:33-52`), [sin | cos] concatenated.
 - `interleaved_1d_table`: support-encoder sequence PE
   (`models/positional_encoding.py:7-38`), sin/cos interleaved.
@@ -41,16 +40,6 @@ def image_sine_pe_2d(h: int, w: int, d_model: int, temperature: float = 10000.0,
     pos_y = np.stack([np.sin(pos_y[:, :, 0::2]), np.cos(pos_y[:, :, 1::2])], axis=3
                      ).reshape(h, w, num_pos_feats)
     return np.concatenate([pos_y, pos_x], axis=2)
-
-
-def sincos_1d_table(seq_len: int, d_model: int) -> np.ndarray:
-    """(seq_len, d_model) table, [sin | cos] concatenated."""
-    assert d_model % 2 == 0
-    pos = np.arange(seq_len, dtype=np.float32)
-    omega = np.arange(d_model // 2, dtype=np.float64) / (d_model / 2.0)
-    omega = 1.0 / 10000**omega
-    out = np.einsum("m,d->md", pos, omega)
-    return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
 
 
 def interleaved_1d_table(max_len: int, d_model: int) -> np.ndarray:
