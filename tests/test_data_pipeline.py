@@ -173,3 +173,67 @@ class TestCanonicalSplitFile:
         cfg = CAPEConfig(category_split_file="does_not_exist.json",
                          dataset_root="/nonexistent", mp100_split=1)
         assert resolve_split_file(cfg) == CANONICAL_SPLIT1
+
+
+class TestBboxCropMath:
+    """Port of the reference's bbox-crop tests
+    (`tests/test_bbox_{cropping,pure,simple}.py`): keypoints shift into the
+    bbox frame then scale with the resize; degenerate bboxes are rejected."""
+
+    def _make_ds(self, tmp_path, bbox, kpts_flat, img_wh=(64, 48)):
+        import json as _json
+
+        from PIL import Image as _Image
+
+        from cape_tpu.data.mp100 import MP100Dataset
+        from cape_tpu.data.tokenizer import DiscreteTokenizer
+
+        w, h = img_wh
+        img_dir = tmp_path / "data"
+        img_dir.mkdir(exist_ok=True)
+        arr = np.zeros((h, w, 3), np.uint8)
+        _Image.fromarray(arr).save(img_dir / "im.png")
+        n = len(kpts_flat) // 3
+        ann = {
+            "images": [{"id": 1, "file_name": "im.png",
+                        "height": h, "width": w}],
+            "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                             "bbox": list(bbox), "keypoints": kpts_flat,
+                             "num_keypoints": n, "iscrowd": 0, "area": 1}],
+            "categories": [{"id": 1, "name": "c",
+                            "keypoints": [f"k{i}" for i in range(n)],
+                            "skeleton": []}],
+        }
+        p = tmp_path / "ann.json"
+        p.write_text(_json.dumps(ann))
+        tok = DiscreteTokenizer(10, 16)
+        return MP100Dataset(str(img_dir), str(p), tok, image_size=32,
+                            split="val")
+
+    def test_keypoints_shift_and_scale(self, tmp_path):
+        # bbox (10, 5, 20, 10); kpt at (15, 10) -> crop frame (5, 5)
+        # -> resized 32x32: x*32/20, y*32/10
+        ds = self._make_ds(tmp_path, (10, 5, 20, 10),
+                           [15.0, 10.0, 2, 25.0, 12.0, 1])
+        rec = ds.get_record(0, np.random.default_rng(0))
+        np.testing.assert_allclose(
+            rec["keypoints"][0], [5 * 32 / 20, 5 * 32 / 10], atol=1e-6)
+        np.testing.assert_allclose(
+            rec["keypoints"][1], [15 * 32 / 20, 7 * 32 / 10], atol=1e-6)
+        np.testing.assert_array_equal(rec["visibility"], [2, 1])
+        assert rec["bbox_width"] == 20 and rec["bbox_height"] == 10
+
+    def test_bbox_clamped_to_image(self, tmp_path):
+        # bbox extends past the image: clamps to (0, 0, 64, 48)
+        ds = self._make_ds(tmp_path, (-5, -5, 100, 100), [8.0, 8.0, 2])
+        rec = ds.get_record(0, np.random.default_rng(0))
+        assert rec["image"].shape == (32, 32, 3)
+        np.testing.assert_allclose(
+            rec["keypoints"][0], [8 * 32 / 64, 8 * 32 / 48], atol=1e-6)
+
+    def test_empty_bbox_raises(self, tmp_path):
+        from cape_tpu.data.mp100 import ImageNotFoundError
+
+        ds = self._make_ds(tmp_path, (70, 5, 20, 10), [1.0, 1.0, 2])
+        with pytest.raises(ImageNotFoundError, match="empty bbox"):
+            ds.get_record(0, np.random.default_rng(0))
