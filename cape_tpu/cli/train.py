@@ -33,6 +33,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_support_per_episode", type=int, default=d.num_support_per_episode)
     p.add_argument("--episodes_per_epoch", type=int, default=d.episodes_per_epoch)
     p.add_argument("--val_episodes_per_epoch", type=int, default=d.val_episodes_per_epoch)
+    p.add_argument("--eval_batch_size", type=int, default=d.eval_batch_size,
+                   help="episodes per validation decode batch")
     p.add_argument("--fixed_val_episodes", action="store_true", default=d.fixed_val_episodes)
     p.add_argument("--val_seed", type=int, default=d.val_seed)
     p.add_argument("--category_split_file", default=d.category_split_file)
