@@ -15,12 +15,17 @@ from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class CAPEConfig:
     """Full model + training + data configuration.
 
     Defaults mirror the reference training CLI defaults
     (`models/train_cape_episodic.py:86-254`) unless noted.
+
+    Frozen (immutable + hashable): a CAPE module is then hashable too, so
+    jitted functions taking the module as a static argument cache across
+    calls (e.g. the eval decode is compiled once per model, not once per
+    validation epoch). Use `.replace(...)` to derive variants.
     """
 
     # ---- episodic parameters ----

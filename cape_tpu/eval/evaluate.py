@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import warnings
+from functools import partial
 from typing import Dict, Iterable, Optional
 
 import jax
@@ -78,6 +79,15 @@ def extract_gt_keypoints(targets: Dict[str, np.ndarray],
     return out
 
 
+@partial(jax.jit, static_argnums=0)
+def _decode_jit(model, params, images, sc, sm, se):
+    """Jitted decode keyed on the (hashable) model as a static argument:
+    the executable caches in jax's global jit cache, so repeated
+    `evaluate_cape` calls (one per validation epoch) reuse one compile
+    instead of re-tracing a fresh lambda every time."""
+    return autoregressive_decode(model, params, images, sc, sm, se)
+
+
 def evaluate_cape(
     model: CAPE,
     params,
@@ -107,9 +117,7 @@ def evaluate_cape(
         raise ValueError(f"pck_norm={pck_norm!r}: 'original_bbox'|'resized'")
     evaluator = PCKEvaluator(threshold=pck_threshold)
     logger = MetricLogger()
-    decode = jax.jit(
-        lambda p, img, sc, sm, se: autoregressive_decode(model, p, img, sc, sm, se)
-    )
+    decode = partial(_decode_jit, model)
 
     n_batches = 0
     for batch in batches:
