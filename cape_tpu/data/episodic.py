@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -250,6 +251,7 @@ def episode_batches(
     max_skeleton_edges: int,
     rng: np.random.Generator,
     fixed: Optional[List[Dict]] = None,
+    num_threads: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield `num_batches` fixed-shape episode batches.
 
@@ -257,21 +259,43 @@ def episode_batches(
     episodes past the end of the list (the tail batch padding to the static
     batch size) are re-wrapped and flagged `valid=False` so the evaluator
     skips them and each fixed episode scores exactly once.
+
+    `num_threads > 1` loads the batch's episodes on a thread pool — the PNG
+    decode / cv2 augmentation hot loop releases the GIL, so on real TPU-VM
+    hosts (~100 cores) this is the DataLoader-workers replacement. Episode
+    SAMPLING stays sequential on the parent `rng`; each episode then loads
+    from a `spawn`ed child generator, so results are deterministic for a
+    given seed regardless of thread scheduling (and identical to the
+    single-thread path, which uses the same spawned streams).
     """
-    ep_idx = 0
-    for _ in range(num_batches):
-        eps = []
-        for _ in range(batch_episodes):
-            if fixed is not None:
-                episode = fixed[ep_idx % len(fixed)]
-                valid = ep_idx < len(fixed)
-                ep_idx += 1
-            else:
-                episode = sampler.sample_episode(rng)
-                valid = True
-            loaded = load_episode(dataset, episode, rng, sampler=sampler)
-            loaded["valid"] = valid
-            eps.append(loaded)
-        yield collate_episodes(
-            eps, image_size, max_support_keypoints, max_skeleton_edges
-        )
+    pool = (ThreadPoolExecutor(max_workers=num_threads)
+            if num_threads > 1 else None)
+    try:
+        ep_idx = 0
+        for _ in range(num_batches):
+            specs = []
+            for _ in range(batch_episodes):
+                if fixed is not None:
+                    episode = fixed[ep_idx % len(fixed)]
+                    valid = ep_idx < len(fixed)
+                    ep_idx += 1
+                else:
+                    episode = sampler.sample_episode(rng)
+                    valid = True
+                specs.append((episode, valid, rng.spawn(1)[0]))
+
+            def load(spec):
+                episode, valid, child = spec
+                loaded = load_episode(dataset, episode, child,
+                                      sampler=sampler)
+                loaded["valid"] = valid
+                return loaded
+
+            eps = list(pool.map(load, specs) if pool
+                       else map(load, specs))
+            yield collate_episodes(
+                eps, image_size, max_support_keypoints, max_skeleton_edges
+            )
+    finally:
+        if pool:
+            pool.shutdown(wait=False)

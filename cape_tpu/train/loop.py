@@ -157,6 +157,7 @@ def train_loop(
             train_ds, sampler, local_batch, steps_per_epoch,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, rng,
+            num_threads=cfg.num_data_threads,
         ), transform=to_device)
         for it, batch in enumerate(logger.log_every(
                 batches, print_freq, header=f"Epoch [{epoch}]")):

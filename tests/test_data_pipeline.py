@@ -237,3 +237,38 @@ class TestBboxCropMath:
         ds = self._make_ds(tmp_path, (70, 5, 20, 10), [1.0, 1.0, 2])
         with pytest.raises(ImageNotFoundError, match="empty bbox"):
             ds.get_record(0, np.random.default_rng(0))
+
+
+def test_threaded_loading_is_deterministic(tmp_path):
+    """The thread-pooled episode loader (DataLoader-workers equivalent)
+    must produce byte-identical batches to the sequential path: sampling is
+    sequential on the parent rng and each episode loads from a spawned
+    child stream, independent of thread scheduling."""
+    from cape_tpu.data.episodic import EpisodicSampler, episode_batches
+    from cape_tpu.data.mp100 import MP100Dataset
+    from cape_tpu.data.synthetic import make_synthetic_mp100
+    from cape_tpu.data.tokenizer import DiscreteTokenizer
+
+    paths = make_synthetic_mp100(str(tmp_path), num_categories=4,
+                                 images_per_category=5)
+    tok = DiscreteTokenizer(10, 24)
+    ds = MP100Dataset(paths["img_dir"], paths["train_ann"], tok,
+                      image_size=64, split="train")  # train = augmented
+    sampler = EpisodicSampler(ds, paths["split_file"], "train",
+                              num_queries=2, num_support=1)
+
+    def run(n_threads):
+        return list(episode_batches(
+            ds, sampler, 3, 2, 64, 12, 16,
+            np.random.default_rng(123), num_threads=n_threads))
+
+    seq = run(1)
+    par = run(4)
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        for k in a:
+            if k == "targets":
+                for tk in a[k]:
+                    np.testing.assert_array_equal(a[k][tk], b[k][tk])
+            else:
+                np.testing.assert_array_equal(a[k], b[k])
