@@ -12,8 +12,12 @@ PyTorch reference `nkkrnkl/category-agnostic-pose-estimation`:
   fallback).
 - Autoregressive keypoint decoding as a single fused `lax.scan` with static
   KV caches — no host<->device sync per step.
-- Data-parallel training over a `jax.sharding.Mesh` via jit + NamedSharding.
-- PCK@0.2 evaluation, orbax checkpointing, episodic training CLI.
+- Data-parallel training over a `jax.sharding.Mesh` via jit + NamedSharding;
+  multi-host pods via `jax.distributed` with per-host input sharding and
+  process-0 checkpoint/log gating.
+- Batch-parallel autoregressive PCK@0.2 evaluation with a 6-part leakage
+  audit, orbax checkpointing (best-PCK + retention + exact RNG resume),
+  episodic training / evaluation / visualization CLIs.
 
 Package layout:
     cape_tpu.config      — typed dataclass configuration (replaces argparse ns)
@@ -22,10 +26,10 @@ Package layout:
     cape_tpu.ops         — Pallas kernels + XLA compute primitives
     cape_tpu.losses      — CAPE criterion (token CE w/ EOS weight, masked L1)
     cape_tpu.train       — train state, train step, training loop
-    cape_tpu.eval        — PCK metrics, autoregressive evaluation
-    cape_tpu.parallel    — device mesh + sharding helpers
+    cape_tpu.eval        — PCK metrics, autoregressive evaluation, leak audit
+    cape_tpu.parallel    — device mesh, sharding, multi-host runtime
     cape_tpu.utils       — logging, checkpointing
     cape_tpu.cli         — train / eval command-line entry points
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
