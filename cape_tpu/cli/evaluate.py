@@ -106,7 +106,11 @@ def main(argv=None):
         cfg.max_support_keypoints, cfg.max_skeleton_edges,
         np.random.default_rng(args.seed), fixed=fixed,
     )
-    stats = evaluate_cape(model, state.params, batches, cfg,
+    from ..data.prefetch import prefetch
+
+    stats = evaluate_cape(model, state.params,
+                          prefetch(batches, transform=jax.device_put),
+                          cfg,
                           pck_threshold=args.pck_threshold, print_freq=20,
                           pck_norm=args.pck_norm,
                           gt_structure_fallback=args.gt_structure)

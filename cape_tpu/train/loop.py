@@ -207,7 +207,7 @@ def train_loop(
         to_val = ((lambda b: global_replicate_batch(b, mesh)) if multi
                   else (lambda b: shard_batch(b, mesh)))
         val_stats = evaluate_cape(
-            model, state.params, map(to_val, val_batches),
+            model, state.params, prefetch(val_batches, transform=to_val),
             cfg, compute_loss=True, eval_loss_fn=eval_loss_fn,
         )
         pck = val_stats["pck"]
