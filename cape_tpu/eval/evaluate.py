@@ -112,7 +112,12 @@ def evaluate_cape(
     `gt_structure_fallback=True` extracts predicted keypoints at the GT
     token-label positions instead of the predicted labels — the reference's
     `evaluate_unseen_categories` fallback (`engine_cape.py:1015-1022`),
-    useful for isolating coordinate quality from token-type errors."""
+    useful for isolating coordinate quality from token-type errors.
+
+    Note: the optional teacher-forced loss averages over the full static
+    batch including any `sample_valid=False` padding rows (wrapped
+    duplicates of real episodes) — a diagnostic-only distortion of the
+    last batch; PCK always excludes padding rows exactly."""
     if pck_norm not in ("original_bbox", "resized"):
         raise ValueError(f"pck_norm={pck_norm!r}: 'original_bbox'|'resized'")
     evaluator = PCKEvaluator(threshold=pck_threshold)

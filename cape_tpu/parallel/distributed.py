@@ -60,10 +60,11 @@ def maybe_initialize() -> bool:
     if jax.process_count() > 1:  # initialized by the launcher already
         _INITIALIZED = True
         return True
-    # On TPU pod slices the runtime auto-detects topology; initialize()
-    # with no args is required for multi-host pods and harmless single-host
-    # only when more than one process is present — which we cannot detect
-    # without the metadata server, so leave single-host runs untouched.
+    # TPU pod slices: the launcher (or jax itself via the TPU metadata
+    # server) initializes the runtime before we get here, in which case the
+    # process_count() check above already returned True. With no coordinator
+    # env and no pre-initialized runtime this is a single-host run — leave
+    # it untouched (calling initialize() here would hang waiting for peers).
     return False
 
 
