@@ -264,9 +264,12 @@ def episode_batches(
     decode / cv2 augmentation hot loop releases the GIL, so on real TPU-VM
     hosts (~100 cores) this is the DataLoader-workers replacement. Episode
     SAMPLING stays sequential on the parent `rng`; each episode then loads
-    from a `spawn`ed child generator, so results are deterministic for a
-    given seed regardless of thread scheduling (and identical to the
-    single-thread path, which uses the same spawned streams).
+    from a child generator seeded by integers DRAWN from the parent stream
+    (never `rng.spawn()`: the spawn counter lives outside
+    `bit_generator.state`, so spawned streams would not survive the
+    checkpointed-RNG exact-resume contract). Batches are therefore
+    deterministic for a given seed regardless of thread scheduling and
+    identical to the single-thread path.
     """
     pool = (ThreadPoolExecutor(max_workers=num_threads)
             if num_threads > 1 else None)
@@ -282,7 +285,9 @@ def episode_batches(
                 else:
                     episode = sampler.sample_episode(rng)
                     valid = True
-                specs.append((episode, valid, rng.spawn(1)[0]))
+                child = np.random.default_rng(
+                    rng.integers(0, 2**63 - 1, size=4))
+                specs.append((episode, valid, child))
 
             def load(spec):
                 episode, valid, child = spec
