@@ -126,6 +126,7 @@ def main():
     from cape_tpu.train import create_train_state, make_train_step
 
     tcfg = cfg.replace(dropout=0.1, batch_size=4, accumulation_steps=1)
+    model_t = CAPE(tcfg)  # dropout rates live in the modules, not the step
     tb = 4
     tbatch = jax.device_put(dict(
         query_images=np.repeat(images, tb, 0),
@@ -135,7 +136,7 @@ def main():
         targets={k: np.repeat(v[:1], tb, 0) for k, v in targets.items()},
     ))
     state = create_train_state(tcfg, params, steps_per_epoch=100)
-    step = make_train_step(model, tcfg, steps_per_epoch=100)
+    step = make_train_step(model_t, tcfg, steps_per_epoch=100)
     jrng = jax.device_put(jax.random.PRNGKey(0))
     state, metrics = step(state, tbatch, jrng)
     jax.block_until_ready(metrics["total"])

@@ -58,7 +58,8 @@ def main(argv=None):
 
     from ..config import CAPEConfig
     from ..data.builder import build_mp100_cape, resolve_split_file
-    from ..data.episodic import EpisodicSampler, episode_batches
+    from ..data.episodic import (EpisodicSampler, episode_batches,
+                                 eval_batch_plan)
     from ..eval.evaluate import evaluate_cape
     from ..models import CAPE
     from ..train.state import create_train_state
@@ -98,13 +99,13 @@ def main(argv=None):
     mgr = CheckpointManager(os.path.dirname(os.path.abspath(args.checkpoint)))
     state, _ = mgr.restore(args.checkpoint, state)
 
-    eval_b = max(1, min(args.eval_batch_size or cfg.eval_batch_size,
-                        args.num_episodes))
-    n_batches = -(-args.num_episodes // eval_b)
+    eval_b, n_batches = eval_batch_plan(
+        args.num_episodes, args.eval_batch_size or cfg.eval_batch_size)
     batches = episode_batches(
         ds, sampler, eval_b, n_batches, cfg.image_size,
         cfg.max_support_keypoints, cfg.max_skeleton_edges,
         np.random.default_rng(args.seed), fixed=fixed,
+        total_episodes=args.num_episodes,
     )
     from ..data.prefetch import prefetch
 

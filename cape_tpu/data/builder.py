@@ -61,6 +61,10 @@ def resolve_split_file(cfg: CAPEConfig) -> str:
     3. folds 2-5: synthesized from the fold's annotation JSONs
        (`make_category_split_file`) into the output dir — so the k-fold
        script runs against a dataset root with only annotations present.
+
+    Fallbacks 2/3 apply only when `category_split_file` is still the
+    config DEFAULT; an explicitly configured path that does not exist
+    raises instead of silently evaluating the wrong protocol.
     """
     for cand in (
         cfg.category_split_file,
@@ -68,6 +72,11 @@ def resolve_split_file(cfg: CAPEConfig) -> str:
     ):
         if cand and os.path.exists(cand):
             return cand
+    if cfg.category_split_file != CAPEConfig().category_split_file:
+        raise FileNotFoundError(
+            f"category_split_file {cfg.category_split_file!r} not found "
+            f"(also tried under dataset_root {cfg.dataset_root!r})"
+        )
     if cfg.mp100_split == 1:
         return CANONICAL_SPLIT1
     from .splits import make_category_split_file

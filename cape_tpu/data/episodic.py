@@ -241,6 +241,17 @@ def validate_episode_batch(batch: Dict[str, np.ndarray]) -> None:
             f"{batch['skeleton_edges'].shape}")
 
 
+def eval_batch_plan(num_episodes: int, eval_batch_size: int):
+    """(batch_episodes, num_batches) for scoring exactly `num_episodes`.
+
+    One place for the clamp + ceil-div every eval caller needs; pass the
+    same `num_episodes` as `total_episodes` to `episode_batches` so the
+    tail batch's padding rows are flagged invalid.
+    """
+    b = max(1, min(eval_batch_size, num_episodes))
+    return b, -(-num_episodes // b)
+
+
 def episode_batches(
     dataset: MP100Dataset,
     sampler: EpisodicSampler,
@@ -252,6 +263,7 @@ def episode_batches(
     rng: np.random.Generator,
     fixed: Optional[List[Dict]] = None,
     num_threads: int = 1,
+    total_episodes: Optional[int] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield `num_batches` fixed-shape episode batches.
 
@@ -259,6 +271,11 @@ def episode_batches(
     episodes past the end of the list (the tail batch padding to the static
     batch size) are re-wrapped and flagged `valid=False` so the evaluator
     skips them and each fixed episode scores exactly once.
+
+    `total_episodes` caps the VALID episode count on the random-sampling
+    path too: episodes beyond it (tail-batch padding) are generated but
+    flagged invalid, so `num_batches * batch_episodes` can exceed the
+    configured protocol without silently scoring extra episodes.
 
     `num_threads > 1` loads the batch's episodes on a thread pool — the PNG
     decode / cv2 augmentation hot loop releases the GIL, so on real TPU-VM
@@ -280,11 +297,13 @@ def episode_batches(
             for _ in range(batch_episodes):
                 if fixed is not None:
                     episode = fixed[ep_idx % len(fixed)]
-                    valid = ep_idx < len(fixed)
-                    ep_idx += 1
+                    cap = (len(fixed) if total_episodes is None
+                           else min(total_episodes, len(fixed)))
                 else:
                     episode = sampler.sample_episode(rng)
-                    valid = True
+                    cap = total_episodes
+                valid = cap is None or ep_idx < cap
+                ep_idx += 1
                 child = np.random.default_rng(
                     rng.integers(0, 2**63 - 1, size=4))
                 specs.append((episode, valid, child))

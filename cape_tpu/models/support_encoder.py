@@ -132,9 +132,11 @@ class SupportPoseGraphEncoder(nn.Module):
     @nn.compact
     def __call__(self, coords, mask, skeleton_edges=None, deterministic=True):
         """coords: (B, N, 2); mask: (B, N) True=invalid;
-        skeleton_edges: (B, E, 2) int32, -1 padded (raw, possibly 1-indexed
-        COCO edges — shifted to 0-indexed here as the reference does for
-        this encoder only, `support_encoder.py:_build_adjacency_matrix`)."""
+        skeleton_edges: (B, E, 2) int32, -1 padded, 0-indexed — the data
+        layer normalizes COCO 1-indexed skeletons at load
+        (`cape_tpu/data/coco.py:category_skeleton`), so unlike the
+        reference's `support_encoder.py:_build_adjacency_matrix` no shift
+        happens here (shifting again would corrupt every edge)."""
         from .graph import adj_from_skeleton
         from .position_encoding import interleaved_1d_table
 
@@ -144,10 +146,8 @@ class SupportPoseGraphEncoder(nn.Module):
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="coord_mlp_1")(h)
 
         if skeleton_edges is not None:
-            # legacy 1 -> 0 index shift for positive indices
-            se = jnp.where(skeleton_edges > 0, skeleton_edges - 1,
-                           skeleton_edges)
-            adj = adj_from_skeleton(N, se, jnp.zeros((B, N), bool))
+            adj = adj_from_skeleton(N, skeleton_edges,
+                                    jnp.zeros((B, N), bool))
             # binary adjacency (pre-normalization channel is row-normalized;
             # recover binary by > 0)
             binary = (adj[:, 1] > 0).astype(jnp.float32)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..config import CAPEConfig
 from ..data.episodic import (EpisodicSampler, episode_batches,
-                             validate_episode_batch)
+                             eval_batch_plan, validate_episode_batch)
 from ..data.prefetch import prefetch
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
@@ -193,13 +193,14 @@ def train_loop(
         # batched decode: B episodes per step (one per chip on an N-chip
         # mesh) instead of the reference's batch-1 protocol — same episodes,
         # ~eval_batch_size x less redundant work (VERDICT weak item 7)
-        eval_b = max(1, min(cfg.eval_batch_size, cfg.val_episodes_per_epoch))
-        n_val_batches = -(-cfg.val_episodes_per_epoch // eval_b)
+        eval_b, n_val_batches = eval_batch_plan(
+            cfg.val_episodes_per_epoch, cfg.eval_batch_size)
         val_batches = episode_batches(
             val_ds, val_sampler, eval_b, n_val_batches,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, np.random.default_rng(cfg.val_seed),
-            fixed=fixed_val,
+            fixed=fixed_val, total_episodes=cfg.val_episodes_per_epoch,
+            num_threads=cfg.num_data_threads,
         )
         # multi-host: every host decodes the SAME fixed episodes in lockstep
         # (replicated onto the global mesh) so PCK — and therefore the
@@ -236,7 +237,7 @@ def train_loop(
         # (reference `save_on_master`, util/misc.py:338-340); the host-numpy
         # conversion keeps the orbax write local to that process
         save_state = (jax.tree_util.tree_map(np.asarray, state)
-                      if multi else state)
+                      if multi and is_main() else state)
         improved = pck > best_pck
         if improved:
             best_pck = pck

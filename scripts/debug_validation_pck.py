@@ -44,7 +44,8 @@ def main():
 
     from cape_tpu.config import CAPEConfig
     from cape_tpu.data.builder import build_mp100_cape, resolve_split_file
-    from cape_tpu.data.episodic import EpisodicSampler, episode_batches
+    from cape_tpu.data.episodic import (EpisodicSampler, episode_batches,
+                                        eval_batch_plan)
     from cape_tpu.eval.audit import audit_episodes, format_audit_report
     from cape_tpu.models import CAPE
     from cape_tpu.models.cape import autoregressive_decode
@@ -80,13 +81,13 @@ def main():
     decode = jax.jit(lambda p, i, c, m, e:
                      autoregressive_decode(model, p, i, c, m, e))
 
-    eval_b = max(1, min(args.eval_batch_size or cfg.eval_batch_size,
-                        args.num_episodes))
-    n_batches = -(-args.num_episodes // eval_b)
+    eval_b, n_batches = eval_batch_plan(
+        args.num_episodes, args.eval_batch_size or cfg.eval_batch_size)
     batches = episode_batches(ds, sampler, eval_b, n_batches,
                               cfg.image_size, cfg.max_support_keypoints,
                               cfg.max_skeleton_edges,
-                              np.random.default_rng(args.seed), fixed=fixed)
+                              np.random.default_rng(args.seed), fixed=fixed,
+                              total_episodes=args.num_episodes)
     audit = audit_episodes(
         lambda b: decode(params, b["query_images"], b["support_coords"],
                          b["support_mask"], b["skeleton_edges"]),

@@ -167,12 +167,20 @@ class TestCanonicalSplitFile:
         assert len(d["train_names"]) == 69
 
     def test_resolution_falls_back_to_canonical(self):
+        """The packaged canonical file is used only when the DEFAULT split
+        filename is absent; an explicitly configured path that does not
+        exist raises instead of silently switching protocols (round-2
+        code-review finding)."""
         from cape_tpu.config import CAPEConfig
         from cape_tpu.data.builder import CANONICAL_SPLIT1, resolve_split_file
 
-        cfg = CAPEConfig(category_split_file="does_not_exist.json",
-                         dataset_root="/nonexistent", mp100_split=1)
+        cfg = CAPEConfig(dataset_root="/nonexistent", mp100_split=1)
         assert resolve_split_file(cfg) == CANONICAL_SPLIT1
+
+        explicit = CAPEConfig(category_split_file="does_not_exist.json",
+                              dataset_root="/nonexistent", mp100_split=1)
+        with pytest.raises(FileNotFoundError, match="does_not_exist.json"):
+            resolve_split_file(explicit)
 
 
 class TestBboxCropMath:

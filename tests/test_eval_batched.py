@@ -218,3 +218,21 @@ def test_pck_norm_and_gt_structure_flags(env):
     # invalid norm rejected
     with pytest.raises(ValueError):
         stats(pck_norm="bogus")
+
+
+def test_random_val_path_scores_exactly_n_episodes(env):
+    """Non-fixed validation (fixed_val_episodes=False) must also score
+    exactly the configured episode count: the tail batch's extra random
+    episodes are flagged invalid via total_episodes."""
+    from cape_tpu.data.episodic import eval_batch_plan
+
+    cfg, val_ds, paths, model, params, sampler = env
+    n = 5
+    eval_b, n_batches = eval_batch_plan(n, 4)
+    assert (eval_b, n_batches) == (4, 2)
+    batches = episode_batches(
+        val_ds, sampler, eval_b, n_batches, cfg.image_size,
+        cfg.max_support_keypoints, cfg.max_skeleton_edges,
+        np.random.default_rng(3), fixed=None, total_episodes=n)
+    stats = evaluate_cape(model, params["params"], batches, cfg)
+    assert stats["num_images"] == n

@@ -124,3 +124,52 @@ class TestSupportEncoder:
                               self.edges)
         assert not np.allclose(np.asarray(out1[:, 0]), np.asarray(out2[:, 1]),
                                atol=1e-4)
+
+
+class TestLegacyEncoderEdgeIndexing:
+    """Regression for the round-2 code-review finding: the legacy
+    SupportPoseGraphEncoder must NOT re-shift skeleton edges — the data
+    layer already normalizes COCO 1-indexed skeletons to 0-indexed
+    (`cape_tpu/data/coco.py:category_skeleton`). A second shift turned
+    edge (0,1) into a self-loop and disconnected the chain's last node."""
+
+    def test_chain_connectivity_drives_edge_embedding(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cape_tpu.models.support_encoder import SupportPoseGraphEncoder
+
+        enc = SupportPoseGraphEncoder(hidden_dim=32, num_layers=1, nhead=4,
+                                      dim_feedforward=64, dropout=0.0)
+        B, N = 1, 5
+        coords = np.random.default_rng(0).uniform(size=(B, N, 2)).astype(np.float32)
+        mask = np.zeros((B, N), bool)
+        # 0-indexed chain over nodes 0..3; node 4 isolated
+        edges = np.full((B, 4, 2), -1, np.int32)
+        edges[0, :3] = [[0, 1], [1, 2], [2, 3]]
+        params = enc.init(jax.random.PRNGKey(0), coords, mask, edges)
+
+        from cape_tpu.models.graph import adj_from_skeleton
+
+        adj = np.asarray(adj_from_skeleton(N, jnp.asarray(edges),
+                                           jnp.zeros((B, N), bool)))
+        binary = adj[0, 1] > 0
+        # chain end-points have 1 neighbor, middles 2, isolated node 0
+        np.testing.assert_array_equal(binary.sum(1), [1, 2, 2, 1, 0])
+        # the encoder runs and is finite with the same edges
+        out = enc.apply(params, coords, mask, edges)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_cape_forward_with_legacy_encoder(self):
+        import jax
+
+        from cape_tpu.config import tiny_test_config
+        from cape_tpu.models import CAPE
+        from test_config_knobs import _batch
+
+        cfg = tiny_test_config(use_geometric_encoder=False)
+        model = CAPE(cfg)
+        imgs, sc, sm, se, targets = _batch(cfg, batch=1, seed=0)
+        params = model.init(jax.random.PRNGKey(0), imgs, sc, sm, se, targets)
+        out = model.apply(params, imgs, sc, sm, se, targets)
+        assert np.isfinite(np.asarray(out["pred_coords"])).all()
