@@ -99,6 +99,7 @@ def evaluate_cape(
     print_freq: int = 0,
     pck_norm: str = "original_bbox",
     gt_structure_fallback: bool = False,
+    multihost: bool = False,
 ) -> Dict:
     """Run autoregressive eval over episode batches. Returns stats dict with
     pck, pck_mean_categories, per-category PCK, counts (+ losses).
@@ -117,7 +118,15 @@ def evaluate_cape(
     Note: the optional teacher-forced loss averages over the full static
     batch including any `sample_valid=False` padding rows (wrapped
     duplicates of real episodes) — a diagnostic-only distortion of the
-    last batch; PCK always excludes padding rows exactly."""
+    last batch; PCK always excludes padding rows exactly.
+
+    `multihost=True` (sharded pod evaluation): each host contributes a
+    DISJOINT slice of episodes to one SPMD decode over the global mesh
+    (batches built via `host_episode_slice` + `global_shard_inputs`); the
+    decode outputs and host-side metadata are then all-gathered so every
+    host scores the full episode set identically — P-fold less decode work
+    than lockstep replication, same PCK on every host (so checkpoint /
+    early-stop decisions still agree without extra communication)."""
     if pck_norm not in ("original_bbox", "resized"):
         raise ValueError(f"pck_norm={pck_norm!r}: 'original_bbox'|'resized'")
     evaluator = PCKEvaluator(threshold=pck_threshold)
@@ -131,6 +140,16 @@ def evaluate_cape(
             batch["query_images"], batch["support_coords"],
             batch["support_mask"], batch["skeleton_edges"],
         )
+        if multihost:
+            from ..parallel import allgather_tree
+
+            out = allgather_tree(out)
+            meta_keys = ("targets", "category_ids", "bbox_dims",
+                         "gt_visibility", "num_keypoints", "sample_valid")
+            gathered = allgather_tree(
+                {k: batch[k] for k in meta_keys if k in batch})
+            batch = dict(batch)
+            batch.update(gathered)
         pred_logits = np.asarray(out["pred_logits"], np.float32)
         pred_coords = np.asarray(out["pred_coords"], np.float32)
         valid = np.asarray(batch.get(

@@ -1,5 +1,7 @@
-from .distributed import (allreduce_sum_dict, global_replicate_batch,
-                          global_shard_batch, host_rng,
+from .distributed import (MODEL_INPUT_KEYS, allgather_tree,
+                          allreduce_sum_dict, global_replicate_batch,
+                          global_shard_batch, global_shard_inputs,
+                          host_episode_slice, host_rng,
                           is_main, local_episode_count, maybe_initialize,
                           process_count, process_index)
 from .mesh import make_mesh, replicate, shard_batch
@@ -8,6 +10,7 @@ __all__ = [
     "make_mesh", "shard_batch", "replicate",
     "maybe_initialize", "is_main", "process_count", "process_index",
     "local_episode_count", "host_rng", "global_shard_batch",
-    "global_replicate_batch",
+    "global_replicate_batch", "global_shard_inputs", "host_episode_slice",
+    "allgather_tree", "MODEL_INPUT_KEYS",
     "allreduce_sum_dict",
 ]

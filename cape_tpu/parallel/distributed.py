@@ -143,6 +143,60 @@ def global_replicate_batch(batch: Dict, mesh: Mesh) -> Dict:
         batch)
 
 
+#: model-input keys of an episode batch (device-placed); everything else is
+#: host-side bookkeeping the evaluator reads as numpy
+MODEL_INPUT_KEYS = ("query_images", "support_coords", "support_mask",
+                    "skeleton_edges")
+
+
+def global_shard_inputs(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Shard only the MODEL INPUT leaves onto the global mesh; metadata
+    (targets, category ids, bbox dims, validity flags) stays host-local
+    numpy. Used by sharded multi-host evaluation: each host contributes its
+    slice of episodes to one SPMD decode, then `allgather_tree` recovers
+    the full outputs + metadata on every host."""
+    put = global_shard_batch(
+        {k: batch[k] for k in MODEL_INPUT_KEYS}, mesh, axis)
+    out = dict(batch)
+    out.update(put)
+    return out
+
+
+def allgather_tree(tree):
+    """Concatenate every leaf across hosts along axis 0 (host-order).
+
+    Works on host numpy leaves and on globally-sharded jax Arrays (e.g.
+    decode outputs) — `process_allgather` with tiled=True returns the
+    assembled global array on every host. Single-process: numpy passthrough.
+    """
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)),
+        tree)
+
+
+def host_episode_slice(episodes: list, total: int):
+    """Split a fixed episode list for sharded multi-host eval.
+
+    Host h takes the contiguous block [h*per_host, (h+1)*per_host) of a
+    list padded (by wrapping) to `process_count() * per_host`; returns
+    (local_list, local_valid_count). Every host gets the same-size slice
+    (SPMD lockstep) — hosts past the real episodes contribute wrapped
+    padding that their valid count excludes.
+    """
+    P = jax.process_count()
+    h = jax.process_index()
+    per_host = -(-total // P)
+    local = [episodes[(h * per_host + i) % len(episodes)]
+             for i in range(per_host)]
+    local_valid = max(0, min(per_host, total - h * per_host))
+    return local, local_valid
+
+
 def allreduce_sum_dict(metrics: Dict[str, float]) -> Dict[str, float]:
     """Sum scalar metrics across hosts (reference `reduce_dict`,
     `util/misc.py:128-153`). No-op single-process."""

@@ -24,7 +24,8 @@ from ..data.episodic import (EpisodicSampler, episode_batches,
 from ..data.prefetch import prefetch
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
-from ..parallel import (global_replicate_batch, global_shard_batch, host_rng,
+from ..parallel import (global_shard_batch, global_shard_inputs,
+                        host_episode_slice, host_rng,
                         is_main, local_episode_count, make_mesh,
                         maybe_initialize, process_count, replicate,
                         shard_batch)
@@ -193,24 +194,59 @@ def train_loop(
         # batched decode: B episodes per step (one per chip on an N-chip
         # mesh) instead of the reference's batch-1 protocol — same episodes,
         # ~eval_batch_size x less redundant work (VERDICT weak item 7)
-        eval_b, n_val_batches = eval_batch_plan(
-            cfg.val_episodes_per_epoch, cfg.eval_batch_size)
-        val_batches = episode_batches(
-            val_ds, val_sampler, eval_b, n_val_batches,
-            cfg.image_size, cfg.max_support_keypoints,
-            cfg.max_skeleton_edges, np.random.default_rng(cfg.val_seed),
-            fixed=fixed_val, total_episodes=cfg.val_episodes_per_epoch,
-            num_threads=cfg.num_data_threads,
-        )
-        # multi-host: every host decodes the SAME fixed episodes in lockstep
-        # (replicated onto the global mesh) so PCK — and therefore the
-        # checkpoint/early-stop decisions — agree without cross-host comms
-        to_val = ((lambda b: global_replicate_batch(b, mesh)) if multi
-                  else (lambda b: shard_batch(b, mesh)))
-        val_stats = evaluate_cape(
-            model, state.params, prefetch(val_batches, transform=to_val),
-            cfg, compute_loss=True, eval_loss_fn=eval_loss_fn,
-        )
+        if multi:
+            # sharded pod evaluation: each host decodes a DISJOINT slice of
+            # the fixed episodes inside one SPMD program; the decode outputs
+            # + metadata all-gather so every host scores the full set and
+            # checkpoint/early-stop decisions stay identical (P-fold less
+            # decode work than lockstep replication)
+            P = process_count()
+            if fixed_val is not None:
+                fixed_local, local_valid = host_episode_slice(
+                    fixed_val, cfg.val_episodes_per_epoch)
+            else:
+                fixed_local = None
+                local_valid = -(-cfg.val_episodes_per_epoch // P)
+            per_host = -(-cfg.val_episodes_per_epoch // P)
+            eval_b, n_val_batches = eval_batch_plan(
+                per_host, max(1, cfg.eval_batch_size // P))
+            # the global eval batch (P * eval_b) must divide the mesh:
+            # round the per-host batch up to a multiple of local devices
+            # (extra rows are invalid-flagged padding)
+            ld = len(jax.local_devices())
+            eval_b = -(-eval_b // ld) * ld
+            n_val_batches = -(-per_host // eval_b)
+            val_rng = np.random.default_rng(
+                [cfg.val_seed, jax.process_index()])
+            val_batches = episode_batches(
+                val_ds, val_sampler, eval_b, n_val_batches,
+                cfg.image_size, cfg.max_support_keypoints,
+                cfg.max_skeleton_edges, val_rng,
+                fixed=fixed_local, total_episodes=local_valid,
+                num_threads=cfg.num_data_threads,
+            )
+            val_stats = evaluate_cape(
+                model, state.params,
+                prefetch(val_batches,
+                         transform=lambda b: global_shard_inputs(b, mesh)),
+                cfg, multihost=True,
+            )
+        else:
+            eval_b, n_val_batches = eval_batch_plan(
+                cfg.val_episodes_per_epoch, cfg.eval_batch_size)
+            val_batches = episode_batches(
+                val_ds, val_sampler, eval_b, n_val_batches,
+                cfg.image_size, cfg.max_support_keypoints,
+                cfg.max_skeleton_edges, np.random.default_rng(cfg.val_seed),
+                fixed=fixed_val, total_episodes=cfg.val_episodes_per_epoch,
+                num_threads=cfg.num_data_threads,
+            )
+            val_stats = evaluate_cape(
+                model, state.params,
+                prefetch(val_batches,
+                         transform=lambda b: shard_batch(b, mesh)),
+                cfg, compute_loss=True, eval_loss_fn=eval_loss_fn,
+            )
         pck = val_stats["pck"]
         train_loss = logger.meters["loss"].global_avg
         if is_main():

@@ -9,6 +9,7 @@ import sys
 
 port = sys.argv[1]
 pid = sys.argv[2]
+fixture_root = sys.argv[3] if len(sys.argv) > 3 else None
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -29,7 +30,8 @@ import numpy as np  # noqa: E402
 
 from cape_tpu.config import tiny_test_config  # noqa: E402
 from cape_tpu.models import CAPE  # noqa: E402
-from cape_tpu.parallel import (global_shard_batch, is_main,  # noqa: E402
+from cape_tpu.parallel import (global_shard_batch, global_shard_inputs,  # noqa: E402
+                               host_episode_slice, is_main,
                                local_episode_count, make_mesh,
                                maybe_initialize, process_count, replicate)
 from cape_tpu.train import create_train_state, make_train_step  # noqa: E402
@@ -72,6 +74,51 @@ def main():
         jax.tree_util.tree_leaves(state.params)[0], np.float64)
     print(f"RESULT pid={pid} main={is_main()} loss={loss:.10f} "
           f"psum={float(leaf.sum()):.10f}", flush=True)
+
+    if fixture_root:
+        # ---- phase 2: sharded multi-host evaluation ----
+        # each host decodes a disjoint slice of the same fixed episodes;
+        # outputs+metadata allgather, so both hosts must report the SAME
+        # PCK over the full set
+        from cape_tpu.data.episodic import (EpisodicSampler,
+                                            episode_batches, eval_batch_plan)
+        from cape_tpu.data.mp100 import MP100Dataset
+        from cape_tpu.data.tokenizer import DiscreteTokenizer
+        from cape_tpu.eval import evaluate_cape
+
+        tok = DiscreteTokenizer(cfg.num_bins, cfg.seq_len)
+        ds = MP100Dataset(os.path.join(fixture_root, "data"),
+                          os.path.join(fixture_root, "annotations",
+                                       "mp100_split1_val.json"),
+                          tok, image_size=cfg.image_size, split="val")
+        sampler = EpisodicSampler(
+            ds, os.path.join(fixture_root, "category_splits.json"), "val",
+            num_queries=1, num_support=1)
+        N = 6
+        fixed = sampler.fixed_episodes(N, seed=11)
+        fixed_local, local_valid = host_episode_slice(fixed, N)
+        per_host = len(fixed_local)
+        eval_b, n_batches = eval_batch_plan(per_host, 4)
+        ld = len(jax.local_devices())
+        eval_b = -(-eval_b // ld) * ld  # global batch must divide the mesh
+        n_batches = -(-per_host // eval_b)
+        batches = episode_batches(
+            ds, sampler, eval_b, n_batches, cfg.image_size,
+            cfg.max_support_keypoints, cfg.max_skeleton_edges,
+            np.random.default_rng(11), fixed=fixed_local,
+            total_episodes=local_valid)
+        # params must be explicit global-mesh arrays: jit over a mix of
+        # global-sharded inputs and host numpy would have to guess
+        ev_params = replicate(
+            jax.tree_util.tree_map(np.asarray, variables)["params"], mesh)
+        stats = evaluate_cape(
+            model, ev_params,
+            map(lambda b: global_shard_inputs(b, mesh), batches),
+            cfg, multihost=True)
+        print(f"EVAL pid={pid} n={stats['num_images']} "
+              f"correct={stats['pck_num_correct']} "
+              f"visible={stats['pck_num_visible']} "
+              f"pck={stats['pck']:.10f}", flush=True)
 
 
 if __name__ == "__main__":
