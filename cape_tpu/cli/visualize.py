@@ -63,7 +63,6 @@ def main(argv=None):
     from ..data.episodic import EpisodicSampler, episode_batches
     from ..eval.evaluate import extract_gt_keypoints, extract_pred_keypoints
     from ..models import CAPE
-    from ..models.cape import autoregressive_decode
     from ..train.state import create_train_state
     from ..utils.checkpoint import CheckpointManager
 
@@ -93,7 +92,11 @@ def main(argv=None):
     mgr = CheckpointManager(os.path.dirname(os.path.abspath(args.checkpoint)))
     state, _ = mgr.restore(args.checkpoint, state)
     params = {"params": state.params}
-    decode = jax.jit(lambda p, i, c, m, e: autoregressive_decode(model, p, i, c, m, e))
+    from functools import partial
+
+    from ..eval.evaluate import _decode_jit
+
+    decode = partial(_decode_jit, model)  # cached static-model jit
 
     os.makedirs(args.output_dir, exist_ok=True)
     S = cfg.image_size

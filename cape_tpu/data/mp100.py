@@ -36,6 +36,22 @@ class ImageNotFoundError(Exception):
     """Raised for missing/invalid samples; triggers sampler retry."""
 
 
+
+
+def clamp_bbox(bbox, width: int, height: int):
+    """Clamp a COCO (x, y, w, h) box into a width x height image.
+
+    Returns int (x, y, w, h); raises ValueError when the clamped box is
+    empty (shared by the dataset crop and the serving API).
+    """
+    bx, by, bw, bh = bbox
+    bx = max(0, int(bx))
+    by = max(0, int(by))
+    bw = min(int(bw), width - bx)
+    bh = min(int(bh), height - by)
+    if bw <= 0 or bh <= 0:
+        raise ValueError(f"empty bbox crop {tuple(bbox)} on {width}x{height}")
+    return bx, by, bw, bh
 class MP100Dataset:
     """COCO-format MP-100 loader producing numpy records.
 
@@ -105,12 +121,9 @@ class MP100Dataset:
         visibility = kpts3[:, 2].astype(np.int32)
         keypoints = kpts3[:, :2].copy()
 
-        bx, by, bw, bh = ann["bbox"]
-        bx = max(0, int(bx))
-        by = max(0, int(by))
-        bw = min(int(bw), orig_w - bx)
-        bh = min(int(bh), orig_h - by)
-        if bw <= 0 or bh <= 0:
+        try:
+            bx, by, bw, bh = clamp_bbox(ann["bbox"], orig_w, orig_h)
+        except ValueError:
             raise ImageNotFoundError(f"Image {img_id}: empty bbox crop")
         crop = img[by : by + bh, bx : bx + bw]
         keypoints[:, 0] -= bx

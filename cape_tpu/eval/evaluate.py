@@ -133,6 +133,9 @@ def evaluate_cape(
     logger = MetricLogger()
     decode = partial(_decode_jit, model)
 
+    if multihost:
+        from ..parallel import allgather_tree
+
     n_batches = 0
     for batch in batches:
         out = decode(
@@ -141,8 +144,6 @@ def evaluate_cape(
             batch["support_mask"], batch["skeleton_edges"],
         )
         if multihost:
-            from ..parallel import allgather_tree
-
             out = allgather_tree(out)
             meta_keys = ("targets", "category_ids", "bbox_dims",
                          "gt_visibility", "num_keypoints", "sample_valid")

@@ -92,13 +92,9 @@ class CAPEPredictor:
             raise ValueError(f"expected uint8 RGB image, got {img.dtype}")
         H, W = img.shape[:2]
         if bbox is not None:
-            bx, by, bw, bh = bbox
-            bx = max(0, int(bx))
-            by = max(0, int(by))
-            bw = min(int(bw), W - bx)
-            bh = min(int(bh), H - by)
-            if bw <= 0 or bh <= 0:
-                raise ValueError(f"empty bbox crop {bbox} on {W}x{H} image")
+            from .data.mp100 import clamp_bbox
+
+            bx, by, bw, bh = clamp_bbox(bbox, W, H)
             img = img[by: by + bh, bx: bx + bw]
         else:
             bx, by, bw, bh = 0, 0, W, H
@@ -165,6 +161,10 @@ class CAPEPredictor:
 
         results: List[Dict] = []
         B = self.batch_size
+        # support prototype is shared by every chunk — broadcast once
+        coords_b = np.broadcast_to(coords, (B,) + coords.shape)
+        mask_b = np.broadcast_to(mask, (B,) + mask.shape)
+        edges_b = np.broadcast_to(edges, (B,) + edges.shape)
         for start in range(0, len(prepped), B):
             chunk = prepped[start: start + B]
             n_real = len(chunk)
@@ -173,8 +173,7 @@ class CAPEPredictor:
             batch_imgs = np.stack([c["input"] for c in chunk])
             out = _decode_jit(
                 self.model, {"params": self.params}, batch_imgs,
-                np.stack([coords] * B), np.stack([mask] * B),
-                np.stack([edges] * B),
+                coords_b, mask_b, edges_b,
             )
             logits = np.asarray(out["pred_logits"], np.float32)
             pcoords = np.asarray(out["pred_coords"], np.float32)

@@ -48,7 +48,6 @@ def main():
                                         eval_batch_plan)
     from cape_tpu.eval.audit import audit_episodes, format_audit_report
     from cape_tpu.models import CAPE
-    from cape_tpu.models.cape import autoregressive_decode
     from cape_tpu.train.state import create_train_state
     from cape_tpu.utils.checkpoint import CheckpointManager
 
@@ -78,8 +77,11 @@ def main():
     mgr = CheckpointManager(os.path.dirname(os.path.abspath(args.checkpoint)))
     state, _ = mgr.restore(args.checkpoint, state)
     params = {"params": state.params}
-    decode = jax.jit(lambda p, i, c, m, e:
-                     autoregressive_decode(model, p, i, c, m, e))
+    from functools import partial
+
+    from cape_tpu.eval.evaluate import _decode_jit
+
+    decode = partial(_decode_jit, model)  # cached static-model jit
 
     eval_b, n_batches = eval_batch_plan(
         args.num_episodes, args.eval_batch_size or cfg.eval_batch_size)
