@@ -7,7 +7,7 @@ Parity targets from the reference optimizer setup
   `sampling_offsets` projections at `lr * lr_linear_proj_mult` (0.1x),
   everything else at `lr` (1e-4);
 - frozen batch-norm affines are never optimized (they are buffers in the
-  reference; here an explicit `set_to_zero` group);
+  reference; here the 'frozen' label group receives lr=0);
 - schedules: multistep(0.1 @ lr_drop) | cosine warm restarts
   (T_0, T_mult, eta_min) | onecycle, each with linear warmup epochs;
 - global-norm clip 0.1, gradient accumulation via `optax.MultiSteps`
