@@ -27,6 +27,7 @@ import numpy as np
 
 from .config import CAPEConfig
 from .data.augment import resize_with_keypoints
+from .data.token_types import TokenType
 
 
 class CAPEPredictor:
@@ -184,7 +185,8 @@ class CAPEPredictor:
                 logits, pcoords, active, np.full((B,), N))
             gen = [
                 (np.arange(N) < int(
-                    ((logits[i].argmax(-1) == 0) & active[i]).sum()))
+                    ((logits[i].argmax(-1) == TokenType.coord)
+                     & active[i]).sum()))
                 for i in range(B)
             ]
             for i in range(n_real):
