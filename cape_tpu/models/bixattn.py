@@ -78,8 +78,8 @@ class BiXAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, x_mask=None, y_mask=None):
-        nx = nn.LayerNorm(dtype=self.dtype)(x)
-        ny = nn.LayerNorm(dtype=self.dtype)(y)
+        nx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        ny = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         dx, dy = BiXAttn(self.dim, self.num_heads, dtype=self.dtype)(
             nx, ny, x_mask, y_mask
         )
@@ -88,7 +88,7 @@ class BiXAttnBlock(nn.Module):
 
         def mlp(z, name):
             h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                         name=f"{name}_fc1")(nn.LayerNorm(dtype=self.dtype)(z))
+                         name=f"{name}_fc1")(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(z))
             h = nn.gelu(h)
             return z + nn.Dense(self.dim, dtype=self.dtype,
                                 name=f"{name}_fc2")(h)
@@ -109,14 +109,14 @@ class CAOneSidedBlock(nn.Module):
     def __call__(self, x, y, x_mask=None, y_mask=None):
         from .attention import MultiHeadAttention
 
-        nx = nn.LayerNorm(dtype=self.dtype)(x)
-        ny = nn.LayerNorm(dtype=self.dtype)(y)
+        nx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        ny = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         dx = MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype)(
             nx, ny, key_padding_mask=y_mask
         )
         x = x + dx
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         )
         x = x + nn.Dense(self.dim, dtype=self.dtype)(nn.gelu(h))
         return x, y

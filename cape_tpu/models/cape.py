@@ -93,7 +93,7 @@ class CAPE(nn.Module):
                 nn.Conv(cfg.hidden_dim, (1, 1), use_bias=True,
                         kernel_init=nn.initializers.xavier_uniform(),
                         dtype=dtype),
-                nn.GroupNorm(num_groups=32, dtype=dtype),
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype),
             ], name=f"input_proj_{i}")
             for i in range(3)
         ]
@@ -101,7 +101,7 @@ class CAPE(nn.Module):
             nn.Conv(cfg.hidden_dim, (3, 3), strides=(2, 2),
                     padding=[(1, 1), (1, 1)], use_bias=True,
                     kernel_init=nn.initializers.xavier_uniform(), dtype=dtype),
-            nn.GroupNorm(num_groups=32, dtype=dtype),
+            nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype),
         ], name="input_proj_3")
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0),
@@ -172,7 +172,18 @@ class CAPE(nn.Module):
         srcs = [self.input_projs[i](feats[i]) for i in range(3)]
         if cfg.num_feature_levels > 3:
             srcs.append(self.input_proj_extra(feats[-1]))
+        return self.encode_features(srcs, deterministic=deterministic)
 
+    def encode_features(self, srcs, deterministic: bool = True) -> jnp.ndarray:
+        """Post-projection feature levels -> encoder memory.
+
+        Args:
+            srcs: list of (B, Hl, Wl, D) channel-last levels matching
+                `spatial_shapes` (the outputs of the input projections,
+                `roomformer_v2.py:306-327`). Split from `encode_image` so the
+                full-stack parity oracle can feed both implementations
+                identical post-proj features (backbone excluded).
+        """
         flat, pos_flat = [], []
         for lvl, src in enumerate(srcs):
             b, h, w, d = src.shape
@@ -247,6 +258,7 @@ def autoregressive_decode(
     support_mask: jnp.ndarray,
     skeleton_edges: jnp.ndarray,
     force_length: Optional[int] = None,
+    encoded: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fused on-device autoregressive generation.
 
@@ -270,13 +282,18 @@ def autoregressive_decode(
     """
     cfg = model.cfg
     tok = DiscreteTokenizer(num_bins=cfg.num_bins, seq_len=cfg.seq_len)
-    B = images.shape[0]
+    B = support_coords.shape[0]
     L = cfg.seq_len
     nb = cfg.num_bins
 
-    memory = model.apply(params, images, method=CAPE.encode_image)
-    support = model.apply(params, support_coords, support_mask, skeleton_edges,
-                          method=CAPE.encode_support)
+    if encoded is None:
+        memory = model.apply(params, images, method=CAPE.encode_image)
+        support = model.apply(params, support_coords, support_mask,
+                              skeleton_edges, method=CAPE.encode_support)
+    else:
+        # precomputed (memory, support) — used by the full-stack parity
+        # oracle to bypass the backbone and feed identical features
+        memory, support = encoded
     mem_values, support_kvs = model.apply(params, memory, support,
                                           method=CAPE.decode_static)
     dtype = memory.dtype

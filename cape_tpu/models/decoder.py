@@ -84,18 +84,18 @@ class DecoderLayer(nn.Module):
         self.attn_v = nn.Dense(self.d_model, **no_bias)
         self.self_attn = MultiHeadAttention(self.d_model, self.n_heads,
                                             self.dropout, dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.support_attn = MultiHeadAttention(self.d_model, self.n_heads,
                                                self.dropout, dtype=self.dtype)
-        self.norm_support = nn.LayerNorm(dtype=self.dtype)
+        self.norm_support = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.cross_attn = MSDeformAttn(self.d_model, self.n_levels,
                                        self.n_heads, self.n_points,
                                        use_pallas=self.use_pallas,
                                        dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.linear1 = nn.Dense(self.d_ffn, dtype=self.dtype)
         self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
     # -- static-input projections (decode-time caching) ----------------
@@ -224,7 +224,7 @@ class Decoder(nn.Module):
             )
         if self.query_pos_type == "sine":
             self.pos_trans = nn.Dense(self.d_model, dtype=self.dtype)
-            self.pos_trans_norm = nn.LayerNorm(dtype=self.dtype)
+            self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.layers = [
             DecoderLayer(self.d_model, self.d_ffn, self.dropout,
                          self.n_levels, self.n_heads, self.n_points,

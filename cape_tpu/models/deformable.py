@@ -136,13 +136,13 @@ class DeformableEncoderLayer(nn.Module):
         value = attn.project_value(src)
         src2 = attn(src + pos, reference_points, value, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
         y = nn.Dense(self.d_ffn, dtype=self.dtype)(src)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.d_model, dtype=self.dtype)(y)
         src = src + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
 def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarray:

@@ -101,7 +101,7 @@ class MSDeformablePoints(nn.Module):
             for i in range(self.n_levels)
         ]
         self.offset_norm = [
-            nn.LayerNorm(dtype=self.dtype, name=f"offset_norm_{i}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"offset_norm_{i}")
             for i in range(self.n_levels)
         ]
         self.conv_offset_b = [

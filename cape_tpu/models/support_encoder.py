@@ -36,13 +36,13 @@ class TransformerEncoderLayer(nn.Module):
             x, x, key_padding_mask=key_padding_mask, deterministic=deterministic
         )
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.d_model, dtype=self.dtype)(y)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class GeometricSupportEncoder(nn.Module):
@@ -168,4 +168,4 @@ class SupportPoseGraphEncoder(nn.Module):
                 self.hidden_dim, self.nhead, self.dim_feedforward,
                 self.dropout, dtype=self.dtype, name=f"layer_{i}"
             )(h, key_padding_mask=mask, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(h)

@@ -60,7 +60,11 @@ def reconstruct_inputs(tok, pred_logits, pred_coords, lengths, min_len, L):
 
 
 def test_stepwise_decode_matches_teacher_forced_forward():
-    import tests.test_model as tm
+    # NOTE: plain `test_model`, not `tests.test_model` — the reference repo
+    # has a regular `tests` package (`/root/reference/tests/__init__.py`)
+    # which shadows our namespace package once ref_modules.install_reference
+    # has put /root/reference on sys.path (parity tests do this).
+    import test_model as tm
 
     model = CAPE(CFG)
     b = tm.make_batch(seed=11)
