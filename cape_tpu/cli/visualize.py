@@ -65,6 +65,7 @@ def main(argv=None):
     from ..models import CAPE
     from ..train.state import create_train_state
     from ..utils.checkpoint import CheckpointManager
+    from ..utils.debug import debug_enabled
 
     with open(os.path.join(args.checkpoint, "meta.json")) as f:
         meta = json.load(f)
@@ -143,6 +144,17 @@ def main(argv=None):
                             f"episode_{bi:03d}_cat{cid}.png")
         cv2.imwrite(path, canvas)
         print(f"wrote {path}", flush=True)
+        if debug_enabled("DEBUG_VIS"):
+            # per-episode numeric dump (the reference's DEBUG_VIS family,
+            # `eval_cape_checkpoint.py:970` / engine_cape.py:40): generated
+            # length, per-keypoint GT vs pred pixels + error
+            err = np.linalg.norm(preds[0] - gts[0], axis=-1) * S
+            print(f"[DEBUG_VIS] episode {bi} cat {cid}: generated "
+                  f"{int(lengths[0])} tokens for {n} keypoints", flush=True)
+            for ki in range(n):
+                print(f"  kpt {ki}: gt={np.round(gts[0][ki] * S, 1).tolist()}"
+                      f" pred={np.round(preds[0][ki] * S, 1).tolist()}"
+                      f" err={err[ki]:.1f}px vis={int(vis[ki])}", flush=True)
 
 
 if __name__ == "__main__":

@@ -115,10 +115,8 @@ def evaluate_cape(
     `evaluate_unseen_categories` fallback (`engine_cape.py:1015-1022`),
     useful for isolating coordinate quality from token-type errors.
 
-    Note: the optional teacher-forced loss averages over the full static
-    batch including any `sample_valid=False` padding rows (wrapped
-    duplicates of real episodes) — a diagnostic-only distortion of the
-    last batch; PCK always excludes padding rows exactly.
+    Both the PCK accumulation and the optional teacher-forced loss exclude
+    `sample_valid=False` padding rows (static-batch wrap-around episodes).
 
     `multihost=True` (sharded pod evaluation): each host contributes a
     DISJOINT slice of episodes to one SPMD decode over the global mesh
@@ -168,6 +166,21 @@ def evaluate_cape(
         # active mask: positions before each sample's EOS
         lengths = np.asarray(out["lengths"])
         active = np.arange(pred_logits.shape[1])[None, :] < lengths[:, None]
+
+        if debug_enabled("DEBUG_KEYPOINT_BUG"):
+            # per-step token-type trace of the first real sample, mirroring
+            # the reference's generation-loop diagnostic
+            # (`roomformer_v2.py:474-528`, first 10 steps)
+            i0 = int(np.argmax(valid))
+            names = {0: "COORD", 1: "SEP", 2: "EOS"}
+            print(f"[DEBUG_KEYPOINT_BUG] sample {i0}: generated "
+                  f"{int(lengths[i0])} tokens (max {cfg.seq_len})",
+                  flush=True)
+            for step in range(min(10, int(lengths[i0]))):
+                t = int(pred_logits[i0, step].argmax())
+                print(f"  step {step}: {names.get(t, t)} "
+                      f"coords={pred_coords[i0, step].round(4).tolist()}",
+                      flush=True)
 
         expected = np.asarray(batch["num_keypoints"])
         if gt_structure_fallback:

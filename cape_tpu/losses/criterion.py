@@ -62,7 +62,8 @@ def coords_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
     return jnp.where(den > 0, (diff * m).sum() / jnp.where(den > 0, den, 1.0), 0.0)
 
 
-def cape_criterion(outputs: Dict, targets: Dict, cfg: CAPEConfig) -> Dict[str, jnp.ndarray]:
+def cape_criterion(outputs: Dict, targets: Dict, cfg: CAPEConfig,
+                   sample_mask=None) -> Dict[str, jnp.ndarray]:
     """Compute all losses + the weighted total.
 
     Args:
@@ -70,6 +71,8 @@ def cape_criterion(outputs: Dict, targets: Dict, cfg: CAPEConfig) -> Dict[str, j
             optional aux_classes/aux_coords (A, B, L, ...).
         targets: tokenizer contract — token_labels, visibility_mask,
             target_seq.
+        sample_mask: optional (B,) bool — False rows contribute nothing
+            (static-batch padding episodes in eval, `sample_valid`).
     Returns:
         dict with loss_ce, loss_coords, per-aux-layer loss_{ce,coords}_{i},
         and 'total'.
@@ -79,6 +82,9 @@ def cape_criterion(outputs: Dict, targets: Dict, cfg: CAPEConfig) -> Dict[str, j
     vis = targets["visibility_mask"]
     ce_mask = valid & vis
     coord_mask = (labels == 0) & vis
+    if sample_mask is not None:
+        ce_mask = ce_mask & sample_mask[:, None]
+        coord_mask = coord_mask & sample_mask[:, None]
     target_seq = targets["target_seq"]
 
     losses = {

@@ -121,9 +121,13 @@ class CAPEPredictor:
 
         Args:
             images: raw (H, W, 3) uint8 RGB images (any sizes).
-            support_coords: (N, 2) category prototype in [0, 1].
+            support_coords: category prototype in [0, 1] — (N, 2) for
+                1-shot, or (K_shots, N, 2) for the reference's K-shot
+                protocol (5-shot mean-pool of coords + `any` of masks,
+                `episodic_sampler.py:434-442`).
             skeleton: 0-indexed edge list (optional).
-            support_visibility: (N,) COCO flags; default all-visible.
+            support_visibility: COCO flags, (N,) or (K_shots, N) matching
+                `support_coords`; default all-visible.
             bboxes: per-image (x, y, w, h) instance boxes (optional).
         Returns:
             per image: dict(keypoints (N, 2) float64 pixels in the ORIGINAL
@@ -134,21 +138,36 @@ class CAPEPredictor:
 
         cfg = self.cfg
         sc = np.asarray(support_coords, np.float32)
-        if sc.ndim != 2 or sc.shape[-1] != 2:
-            raise ValueError(f"support_coords must be (N, 2), got {sc.shape}")
-        N = sc.shape[0]
+        if sc.ndim == 2:
+            sc = sc[None]                                   # 1-shot
+        if sc.ndim != 3 or sc.shape[-1] != 2:
+            raise ValueError(
+                f"support_coords must be (N, 2) or (K, N, 2), got {sc.shape}")
+        shots, N = sc.shape[0], sc.shape[1]
         K = cfg.max_support_keypoints
         if N > K:
             raise ValueError(f"{N} support keypoints > static max {K}")
         if bboxes is not None and len(bboxes) != len(images):
             raise ValueError("bboxes length must match images")
 
-        coords = np.zeros((K, 2), np.float32)
-        coords[:N] = np.clip(sc, 0.0, 1.0)
-        mask = np.ones((K,), bool)
-        vis = (np.full((N,), 2) if support_visibility is None
+        vis = (np.full((shots, N), 2) if support_visibility is None
                else np.asarray(support_visibility))
-        mask[:N] = vis == 0
+        if vis.ndim == 1:
+            vis = np.broadcast_to(vis, (shots, N))
+        if vis.shape != (shots, N):
+            raise ValueError(
+                f"support_visibility {vis.shape} must match "
+                f"support_coords shots/keypoints ({shots}, {N})")
+
+        # K-shot aggregation, exactly as the training/eval collate
+        # (`cape_tpu.data.episodic`, reference `episodic_sampler.py:434-442`):
+        # mean over shot coords, `any` over True=ignore masks
+        per_shot_coords = np.zeros((shots, K, 2), np.float32)
+        per_shot_coords[:, :N] = np.clip(sc, 0.0, 1.0)
+        per_shot_mask = np.ones((shots, K), bool)
+        per_shot_mask[:, :N] = vis == 0
+        coords = per_shot_coords.mean(axis=0)
+        mask = per_shot_mask.any(axis=0)
 
         edges = np.full((cfg.max_skeleton_edges, 2), -1, np.int32)
         if skeleton:

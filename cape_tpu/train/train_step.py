@@ -24,7 +24,8 @@ from .state import TrainState, make_optimizer
 
 
 def _forward_losses(model: CAPE, cfg: CAPEConfig, params, batch,
-                    dropout_rng=None) -> Dict[str, jnp.ndarray]:
+                    dropout_rng=None, sample_mask=None
+                    ) -> Dict[str, jnp.ndarray]:
     deterministic = dropout_rng is None
     rngs = None if deterministic else {"dropout": dropout_rng}
     outputs = model.apply(
@@ -37,7 +38,8 @@ def _forward_losses(model: CAPE, cfg: CAPEConfig, params, batch,
         deterministic=deterministic,
         rngs=rngs,
     )
-    return cape_criterion(outputs, batch["targets"], cfg)
+    return cape_criterion(outputs, batch["targets"], cfg,
+                          sample_mask=sample_mask)
 
 
 def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
@@ -68,10 +70,15 @@ def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
 
 
 def make_eval_loss_fn(model: CAPE, cfg: CAPEConfig):
-    """Jitted teacher-forced loss on a validation batch (no dropout)."""
+    """Jitted teacher-forced loss on a validation batch (no dropout).
+
+    `sample_valid` padding rows (static-batch wrap-around duplicates) are
+    excluded from the loss averages, so the reported eval loss reflects
+    only real episodes (round-2 VERDICT weak item 4)."""
 
     @jax.jit
     def eval_loss(params, batch):
-        return _forward_losses(model, cfg, params, batch)
+        return _forward_losses(model, cfg, params, batch,
+                               sample_mask=batch.get("sample_valid"))
 
     return eval_loss

@@ -10,6 +10,18 @@ not present — in the TPU training container):
 then train with `--resnet_weights resnet50_imagenet.npz`. The loader folds
 the BatchNorm statistics into frozen affine scale/bias pairs (the
 reference's FrozenBatchNorm2d, `models/backbone.py:13-40`).
+
+npz schema (= the raw torchvision resnet50 state_dict, one array per key):
+    conv1.weight                      (64, 3, 7, 7)   OIHW float32
+    bn{1}.{weight,bias,running_mean,running_var}      (C,) float32
+    layer{1-4}.{i}.conv{1,2,3}.weight                 OIHW float32
+    layer{1-4}.{i}.bn{1,2,3}.*                        (C,) float32
+    layer{1-4}.{i}.downsample.0.weight / .1.*         (first block only)
+    fc.{weight,bias}, *.num_batches_tracked           present, ignored
+The loader transposes conv kernels OIHW->HWIO and folds each BN to
+scale = weight/sqrt(running_var + 1e-5), bias = bias - running_mean*scale.
+`tests/test_backbone_weights.py::test_converted_backbone_matches_torch_forward`
+pins this schema end-to-end against a functional torch forward.
 """
 
 from __future__ import annotations

@@ -126,3 +126,47 @@ def test_from_checkpoint_roundtrip(tmp_path, predictor):
     a = predictor.predict([img], proto)[0]
     b = p2.predict([img], proto)[0]
     np.testing.assert_allclose(a["keypoints"], b["keypoints"], atol=1e-5)
+
+
+def test_kshot_aggregation_matches_collate(predictor):
+    """(K, N, 2) supports aggregate exactly like the training/eval collate:
+    mean over shot coords, `any` over True=ignore visibility masks
+    (reference `episodic_sampler.py:434-442`). 5 identical shots ==
+    1 shot; mixed shots == predicting with the precomputed mean."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    proto = rng.uniform(0.1, 0.9, (4, 2))
+
+    one = predictor.predict([img], proto)[0]
+    five_same = predictor.predict([img], np.stack([proto] * 5))[0]
+    np.testing.assert_allclose(one["keypoints"], five_same["keypoints"],
+                               atol=1e-5)
+
+    shots = rng.uniform(0.1, 0.9, (5, 4, 2)).astype(np.float32)
+    mixed = predictor.predict([img], shots)[0]
+    mean = predictor.predict([img], shots.mean(axis=0))[0]
+    np.testing.assert_allclose(mixed["keypoints"], mean["keypoints"],
+                               atol=1e-5)
+
+
+def test_kshot_visibility_any_mask(predictor):
+    """A keypoint invisible in ANY shot is masked out of the support
+    (collate `any` semantics); per-shot visibility shape is validated."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    shots = rng.uniform(0.1, 0.9, (3, 4, 2)).astype(np.float32)
+
+    vis = np.full((3, 4), 2)
+    vis[1, 2] = 0      # keypoint 2 invisible in shot 1 -> masked overall
+    out_masked = predictor.predict([img], shots, support_visibility=vis)[0]
+
+    # equivalent: 1-shot mean coords with keypoint 2 masked
+    vis1 = np.array([2, 2, 0, 2])
+    out_equiv = predictor.predict([img], shots.mean(axis=0),
+                                  support_visibility=vis1)[0]
+    np.testing.assert_allclose(out_masked["keypoints"],
+                               out_equiv["keypoints"], atol=1e-5)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="support_visibility"):
+        predictor.predict([img], shots, support_visibility=np.full((2, 4), 2))
