@@ -24,14 +24,22 @@ def make_synthetic_mp100(
     image_size=(96, 128),  # (h, w)
     seed: int = 0,
     learnable: bool = False,
+    num_splits: int = 1,
 ) -> Dict[str, str]:
     """Write a synthetic MP-100 tree under `root`.
 
     Layout (matches the MP-100 convention `build_mp100_cape` resolves —
     images under <root>/data, annotations under <root>/annotations):
         root/data/<file>.png
-        root/annotations/mp100_split1_{train,val,test}.json
+        root/annotations/mp100_split{S}_{train,val,test}.json
         root/category_splits.json
+
+    `num_splits > 1` writes additional MP-100-style folds: fold S rotates
+    the category list by S-1 before the train/val/test assignment (the real
+    MP-100 5-fold protocol likewise re-partitions categories per split).
+    `category_splits.json` describes split 1; other folds derive theirs
+    from the annotation JSONs (`cape_tpu.data.builder.resolve_split_file`
+    fallback), exactly like the k-fold scripts expect.
 
     Categories are split train/val/test (mirroring category_splits.json in
     the reference); every category appears in exactly one meta-split, and
@@ -89,13 +97,11 @@ def make_synthetic_mp100(
 
     img_id = 0
     ann_id = 0
-    per_split: Dict[str, dict] = {
-        s: {"images": [], "annotations": [], "categories": categories}
-        for s in ("train", "val", "test")
+    per_cat: Dict[int, dict] = {
+        c["id"]: {"images": [], "annotations": []} for c in categories
     }
 
     for cat in categories:
-        split = next(s for s, ids in split_map.items() if cat["id"] in ids)
         n_kpts = len(cat["keypoints"])
         for _ in range(images_per_category):
             img_id += 1
@@ -132,10 +138,10 @@ def make_synthetic_mp100(
                 flat += [float(x), float(y), int(v)]
 
             ann_id += 1
-            per_split[split]["images"].append(
+            per_cat[cat["id"]]["images"].append(
                 {"id": img_id, "file_name": fname, "height": h, "width": w}
             )
-            per_split[split]["annotations"].append(
+            per_cat[cat["id"]]["annotations"].append(
                 {
                     "id": ann_id,
                     "image_id": img_id,
@@ -149,11 +155,23 @@ def make_synthetic_mp100(
             )
 
     paths = {"root": root, "img_dir": img_dir}
-    for s in ("train", "val", "test"):
-        p = os.path.join(ann_dir, f"mp100_split1_{s}.json")
-        with open(p, "w") as f:
-            json.dump(per_split[s], f)
-        paths[f"{s}_ann"] = p
+    for split_num in range(1, num_splits + 1):
+        rotated = cat_ids[split_num - 1:] + cat_ids[: split_num - 1]
+        fold_map = {
+            "train": rotated[:n_train],
+            "val": rotated[n_train : n_train + n_val],
+            "test": rotated[n_train + n_val :],
+        }
+        for s in ("train", "val", "test"):
+            doc = {"images": [], "annotations": [], "categories": categories}
+            for cid in fold_map[s]:
+                doc["images"].extend(per_cat[cid]["images"])
+                doc["annotations"].extend(per_cat[cid]["annotations"])
+            p = os.path.join(ann_dir, f"mp100_split{split_num}_{s}.json")
+            with open(p, "w") as f:
+                json.dump(doc, f)
+            if split_num == 1:
+                paths[f"{s}_ann"] = p
 
     split_file = os.path.join(root, "category_splits.json")
     with open(split_file, "w") as f:

@@ -9,10 +9,15 @@ import os
 import subprocess
 import sys
 
+
 import numpy as np
 import pytest
 
 from cape_tpu.data.synthetic import make_synthetic_mp100
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

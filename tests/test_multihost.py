@@ -17,6 +17,7 @@ import socket
 import subprocess
 import sys
 
+
 import jax
 import numpy as np
 import pytest
@@ -27,6 +28,10 @@ from cape_tpu.parallel import make_mesh, replicate, shard_batch
 from cape_tpu.train import create_train_state, make_train_step
 
 from test_config_knobs import _batch
+
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cape_tpu.config import tiny_test_config
 from cape_tpu.data.mp100 import MP100Dataset
 from cape_tpu.data.synthetic import make_synthetic_mp100
