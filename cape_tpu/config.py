@@ -114,6 +114,11 @@ class CAPEConfig:
     output_dir: str = "output/cape_episodic"
     bf16: bool = True                         # run compute in bfloat16 on TPU
     num_data_threads: int = 2
+    # host-loader LRU budget (MB) per dataset: decoded bbox crops (train —
+    # skips PNG decode on episodic revisits) and final records (the
+    # deterministic no-augment path: fixed-episode validation is ~free
+    # after its first epoch). 0 disables.
+    data_cache_mb: int = 1024
     mesh_shape: Tuple[int, ...] = (-1,)       # data-parallel axis, -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
 

@@ -116,16 +116,20 @@ def _color_jitter(img, rng, strength=0.3, hue_strength=0.1):
 
     Strengths match the reference `A.ColorJitter(brightness=0.3,
     contrast=0.3, saturation=0.3, hue=0.1)` (`mp100_cape.py:920-927`).
+
+    Brightness b, contrast c, saturation s compose linearly, so the three
+    passes fuse into ONE per-pixel transform (the host loader's hottest
+    full-resolution op): with m = b*mean(x) and gray = channel-mean,
+        out = (s*c*b)*x + ((1-s)*c*b)*gray(x) + m*(1-c).
+    The rng draw order/distributions are unchanged (exact-resume parity).
     """
     x = img.astype(np.float32)
-    # brightness
-    x = x * rng.uniform(1 - strength, 1 + strength)
-    # contrast
-    mean = x.mean()
-    x = (x - mean) * rng.uniform(1 - strength, 1 + strength) + mean
-    # saturation
+    b = rng.uniform(1 - strength, 1 + strength)   # brightness
+    c = rng.uniform(1 - strength, 1 + strength)   # contrast
+    s = rng.uniform(1 - strength, 1 + strength)   # saturation
+    m = b * x.mean()
     gray = x.mean(axis=-1, keepdims=True)
-    x = (x - gray) * rng.uniform(1 - strength, 1 + strength) + gray
+    x = (s * c * b) * x + ((1.0 - s) * c * b) * gray + m * (1.0 - c)
     x = np.clip(x, 0, 255).astype(np.uint8)
     # hue
     factor = rng.uniform(-hue_strength, hue_strength)
@@ -133,7 +137,8 @@ def _color_jitter(img, rng, strength=0.3, hue_strength=0.1):
 
 
 def _gauss_noise(img, rng):
-    noise = rng.normal(0.0, rng.uniform(5.0, 15.0), img.shape)
+    sigma = rng.uniform(5.0, 15.0)
+    noise = rng.standard_normal(img.shape, dtype=np.float32) * sigma
     return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
 
 

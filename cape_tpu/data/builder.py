@@ -43,6 +43,7 @@ def build_mp100_cape(image_set: str, cfg: CAPEConfig) -> MP100Dataset:
         split=image_set,
         image_norm=cfg.image_norm,
         augment=False if cfg.disable_augment else None,
+        cache_mb=cfg.data_cache_mb,
     )
 
 

@@ -31,11 +31,61 @@ from .tokenizer import DiscreteTokenizer, tokenize_keypoints
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
+try:
+    import cv2 as _cv2
+except Exception:  # pragma: no cover
+    _cv2 = None
+
+
+def _decode_rgb(path: str):
+    """Decode an image file to uint8 RGB — cv2 when available (measurably
+    faster PNG/JPEG decode than PIL and releases the GIL for the loader
+    threads), PIL fallback otherwise."""
+    if _cv2 is not None:
+        bgr = _cv2.imread(path, _cv2.IMREAD_COLOR)
+        if bgr is None:
+            return None
+        return np.ascontiguousarray(bgr[:, :, ::-1])
+    return np.asarray(Image.open(path).convert("RGB"))
+
 
 class ImageNotFoundError(Exception):
     """Raised for missing/invalid samples; triggers sampler retry."""
 
 
+class _LRUBytes:
+    """Tiny byte-budgeted LRU, safe under the loader thread pool (values
+    are immutable-by-convention; a lock keeps the byte accounting exact)."""
+
+    def __init__(self, budget_mb: int):
+        import threading
+        from collections import OrderedDict
+
+        self.budget = int(budget_mb) * (1 << 20)
+        self.bytes = 0
+        self.d = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            v = self.d.get(key)
+            if v is None:
+                return None
+            self.d.move_to_end(key)
+            return v[0]
+
+    def put(self, key, value, nbytes: int):
+        if self.budget <= 0 or nbytes > self.budget:
+            return
+        with self._lock:
+            old = self.d.pop(key, None)
+            if old is not None:
+                self.bytes -= old[1]
+            self.d[key] = (value, nbytes)
+            self.bytes += nbytes
+            while self.bytes > self.budget and self.d:
+                _, (_, n) = self.d.popitem(last=False)
+                self.bytes -= n
 
 
 def clamp_bbox(bbox, width: int, height: int):
@@ -73,6 +123,7 @@ class MP100Dataset:
         split: str = "train",
         image_norm: bool = False,
         augment: Optional[bool] = None,
+        cache_mb: int = 1024,
     ):
         self.root = img_folder
         self.coco = COCOIndex(ann_file)
@@ -82,6 +133,15 @@ class MP100Dataset:
         self.split = split
         self.image_norm = image_norm
         self.augment = augment if augment is not None else (split == "train")
+        # host-pipeline caches (round-3 VERDICT item 2 — episodic sampling
+        # revisits the same images constantly):
+        # - crop cache: decoded uint8 bbox crop + shifted keypoints; skips
+        #   file read + PNG decode + crop on reuse (augment still runs)
+        # - record cache (deterministic no-augment path only): the final
+        #   record; fixed-episode validation costs ~zero host work after
+        #   its first epoch. Returned arrays are READ-ONLY by convention.
+        self._crop_cache = _LRUBytes(cache_mb)
+        self._record_cache = _LRUBytes(cache_mb)
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -97,37 +157,14 @@ class MP100Dataset:
         """
         rng = rng or np.random.default_rng()
         img_id = self.ids[index]
-        info = self.coco.load_img(img_id)
-        path = os.path.join(self.root, info["file_name"])
-        if not os.path.exists(path):
-            raise ImageNotFoundError(f"Image not found: {path}")
-        img = np.asarray(Image.open(path).convert("RGB"))
-        if img.ndim != 3 or img.shape[0] == 0 or img.shape[1] == 0:
-            raise ImageNotFoundError(f"Invalid image {path}: shape {img.shape}")
-        orig_h, orig_w = img.shape[:2]
 
-        # first valid instance only (`mp100_cape.py:309-327`)
-        ann = None
-        for a in self.coco.load_anns(img_id):
-            if a.get("keypoints") and "bbox" in a:
-                kpts = np.asarray(a["keypoints"], dtype=np.float64).reshape(-1, 3)
-                if (kpts[:, 2] > 0).any():
-                    ann = a
-                    break
-        if ann is None:
-            raise ImageNotFoundError(f"Image {img_id} has no valid annotations")
+        if not self.augment:
+            cached = self._record_cache.get(img_id)
+            if cached is not None:
+                return dict(cached)  # shallow copy; arrays are read-only
 
-        kpts3 = np.asarray(ann["keypoints"], dtype=np.float64).reshape(-1, 3)
-        visibility = kpts3[:, 2].astype(np.int32)
-        keypoints = kpts3[:, :2].copy()
-
-        try:
-            bx, by, bw, bh = clamp_bbox(ann["bbox"], orig_w, orig_h)
-        except ValueError:
-            raise ImageNotFoundError(f"Image {img_id}: empty bbox crop")
-        crop = img[by : by + bh, bx : bx + bw]
-        keypoints[:, 0] -= bx
-        keypoints[:, 1] -= by
+        crop, keypoints, visibility, ann, bw, bh = self._load_crop(img_id)
+        keypoints = keypoints.copy()  # cached array must stay pristine
 
         if self.augment:
             crop, keypoints = train_augment(crop, keypoints, self.image_size, rng)
@@ -156,7 +193,7 @@ class MP100Dataset:
                 f"{category_id} expectation {expected}"
             )
 
-        return {
+        record = {
             "image": image,
             "keypoints": keypoints,
             "visibility": visibility,
@@ -168,3 +205,50 @@ class MP100Dataset:
             "image_id": img_id,
             "seq_data": seq_data,
         }
+        if not self.augment:
+            self._record_cache.put(img_id, dict(record), image.nbytes)
+        return record
+
+    # ------------------------------------------------------------------
+    def _load_crop(self, img_id: int):
+        """Decode + bbox-crop one image (LRU cached — PNG decode dominates
+        the per-record host cost; episodic sampling revisits images)."""
+        cached = self._crop_cache.get(img_id)
+        if cached is not None:
+            return cached
+
+        info = self.coco.load_img(img_id)
+        path = os.path.join(self.root, info["file_name"])
+        if not os.path.exists(path):
+            raise ImageNotFoundError(f"Image not found: {path}")
+        img = _decode_rgb(path)
+        if img is None or img.ndim != 3 or img.shape[0] == 0 or img.shape[1] == 0:
+            raise ImageNotFoundError(f"Invalid image {path}")
+        orig_h, orig_w = img.shape[:2]
+
+        # first valid instance only (`mp100_cape.py:309-327`)
+        ann = None
+        for a in self.coco.load_anns(img_id):
+            if a.get("keypoints") and "bbox" in a:
+                kpts = np.asarray(a["keypoints"], dtype=np.float64).reshape(-1, 3)
+                if (kpts[:, 2] > 0).any():
+                    ann = a
+                    break
+        if ann is None:
+            raise ImageNotFoundError(f"Image {img_id} has no valid annotations")
+
+        kpts3 = np.asarray(ann["keypoints"], dtype=np.float64).reshape(-1, 3)
+        visibility = kpts3[:, 2].astype(np.int32)
+        keypoints = kpts3[:, :2].copy()
+
+        try:
+            bx, by, bw, bh = clamp_bbox(ann["bbox"], orig_w, orig_h)
+        except ValueError:
+            raise ImageNotFoundError(f"Image {img_id}: empty bbox crop")
+        crop = np.ascontiguousarray(img[by : by + bh, bx : bx + bw])
+        keypoints[:, 0] -= bx
+        keypoints[:, 1] -= by
+
+        entry = (crop, keypoints, visibility, ann, bw, bh)
+        self._crop_cache.put(img_id, entry, crop.nbytes + keypoints.nbytes)
+        return entry
