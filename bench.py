@@ -5,8 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol: flagship model (ResNet-50, 6+6 layers, d=256, 512x512 images,
 seq_len 200), batch = 1 episode (the reference eval protocol,
 `eval_cape_checkpoint.py:296-317`), full autoregressive decode (encoder once
-+ 200 scan steps with KV caches). Reported value = episodes/sec (p50 over
-timed runs); also prints p50 episode latency to stderr.
++ 200 scan steps with KV caches). Reported value = episodes/sec (average
+over a queued batch of timed runs with a hard device->host sync — see the
+timing-protocol note in main(); `block_until_ready` alone does not reliably
+block through the axon relay); also prints episode latency to stderr.
 
 Baseline: the reference publishes no benchmark numbers (BASELINE.md), so we
 MEASURED it: `scripts/bench_reference_baseline.py` imports the reference
@@ -67,17 +69,24 @@ def main():
             model, p, i, c, m, e, force_length=18)
     )
 
-    # warmup/compile
-    out = decode(params, images, sc, sm, edges)
-    jax.block_until_ready(out["pred_coords"])
-
-    times = []
-    for _ in range(10):
+    # Timing protocol (relay-honest): `jax.block_until_ready` can return
+    # before the device drains through the axon relay (measured: it yields
+    # impossible >1.0 MFU on the train step), so every measurement below
+    # queues N executions and then FETCHES the last output's value to host
+    # (np.asarray) — a real device->host sync. TPU cores run executables
+    # in dispatch order, so the last fetch bounds all N; avg = wall / N.
+    def timed_queue(fn, fetch_key, n, warmup=2):
+        for _ in range(warmup):
+            out = fn()
+        np.asarray(out[fetch_key]).ravel()[:1]
         t0 = time.perf_counter()
-        out = decode(params, images, sc, sm, edges)
-        jax.block_until_ready(out["pred_coords"])
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
+        for _ in range(n):
+            out = fn()
+        np.asarray(out[fetch_key]).ravel()[:1]
+        return (time.perf_counter() - t0) / n
+
+    p50 = timed_queue(lambda: decode(params, images, sc, sm, edges),
+                      "pred_coords", 10)
     eps = B / p50
     print(f"p50 episode latency: {p50 * 1000:.1f} ms on "
           f"{jax.devices()[0].platform}", file=sys.stderr)
@@ -90,16 +99,10 @@ def main():
         lambda p, i, c, m, e: autoregressive_decode(
             model, p, i, c, m, e, force_length=69)
     )
-    out = decode68(params, images, sc, sm68, edges)
-    jax.block_until_ready(out["pred_coords"])
-    t68 = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = decode68(params, images, sc, sm68, edges)
-        jax.block_until_ready(out["pred_coords"])
-        t68.append(time.perf_counter() - t0)
-    print(f"p50 68-kpt episode latency: {float(np.median(t68)) * 1000:.1f} ms"
-          f" ({B / float(np.median(t68)):.0f} eps/sec)", file=sys.stderr)
+    t68 = timed_queue(lambda: decode68(params, images, sc, sm68, edges),
+                      "pred_coords", 5)
+    print(f"68-kpt episode latency: {t68 * 1000:.1f} ms"
+          f" ({B / t68:.0f} eps/sec)", file=sys.stderr)
 
     # batched decode throughput (serving mode): the reference is locked to
     # batch 1 by ragged torch shapes; our fixed-shape episodes batch freely
@@ -109,15 +112,7 @@ def main():
     sm8 = np.repeat(sm, B8, 0)
     edges8 = np.repeat(edges, B8, 0)
     args8 = jax.device_put((images8, sc8, sm8, edges8))
-    out = decode(params, *args8)
-    jax.block_until_ready(out["pred_coords"])
-    t8 = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        out = decode(params, *args8)
-        jax.block_until_ready(out["pred_coords"])
-        t8.append(time.perf_counter() - t0)
-    p50_8 = float(np.median(t8))
+    p50_8 = timed_queue(lambda: decode(params, *args8), "pred_coords", 10)
     print(f"batched decode (B=8): {p50_8 * 1000:.2f} ms -> "
           f"{B8 / p50_8:.0f} eps/sec/chip throughput", file=sys.stderr)
 
@@ -138,15 +133,18 @@ def main():
     state = create_train_state(tcfg, params, steps_per_epoch=100)
     step = make_train_step(model_t, tcfg, steps_per_epoch=100)
     jrng = jax.device_put(jax.random.PRNGKey(0))
-    state, metrics = step(state, tbatch, jrng)
-    jax.block_until_ready(metrics["total"])
-    tt = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        state, metrics = step(state, tbatch, jrng)
-        jax.block_until_ready(metrics["total"])
-        tt.append(time.perf_counter() - t0)
-    tstep = float(np.median(tt))
+    def run_steps(n):
+        nonlocal state
+        metrics = None
+        for _ in range(n):
+            state, metrics = step(state, tbatch, jrng)
+        float(metrics["total"])
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[:1]
+
+    run_steps(3)  # compile + warm
+    t0 = time.perf_counter()
+    run_steps(10)
+    tstep = (time.perf_counter() - t0) / 10
     print(f"train step p50 (batch {tb}): {tstep * 1000:.1f} ms "
           f"({tb / tstep:.0f} queries/sec)", file=sys.stderr)
     print(json.dumps({

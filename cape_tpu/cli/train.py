@@ -92,6 +92,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_bf16", dest="bf16", action="store_false", default=d.bf16)
     p.add_argument("--num_data_threads", type=int, default=d.num_data_threads,
                    help="episode-loading threads (DataLoader-workers equivalent)")
+    p.add_argument("--steps_per_dispatch", type=int, default=d.steps_per_dispatch,
+                   help="optimizer steps fused into one device dispatch "
+                        "(lax.scan); amortizes launch latency")
     p.add_argument("--data_cache_mb", type=int, default=d.data_cache_mb,
                    help="host loader LRU budget (decoded crops / val "
                         "records) in MB; 0 disables")

@@ -121,6 +121,12 @@ class CAPEConfig:
     data_cache_mb: int = 1024
     mesh_shape: Tuple[int, ...] = (-1,)       # data-parallel axis, -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # Train steps fused into ONE device dispatch (`lax.scan` over stacked
+    # batches). >1 amortizes per-dispatch launch latency across N real
+    # optimizer steps — decisive when the host<->device link is slow (a
+    # remote/relay-attached TPU) and a steady win on direct-attached
+    # hardware. 1 = classic one-dispatch-per-step.
+    steps_per_dispatch: int = 1
 
     # ---- pallas kernels ----
     use_pallas_msda: bool = False             # flip when kernel validated on-device

@@ -13,6 +13,25 @@ import queue
 import threading
 from typing import Callable, Iterable, Iterator, Optional
 
+import jax
+import numpy as np
+
+
+def stack_batches(iterable: Iterable, n: int) -> Iterator:
+    """Group every `n` consecutive batch pytrees into one stacked pytree.
+
+    Each leaf gains a leading (n,) axis — the scan axis consumed by
+    `make_scan_train_step`. A final incomplete group is DROPPED (a
+    different leading dim would force an XLA recompile); callers size
+    their epoch to a multiple of `n`.
+    """
+    group = []
+    for item in iterable:
+        group.append(item)
+        if len(group) == n:
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group)
+            group = []
+
 
 def prefetch(iterable: Iterable, buffer_size: int = 2,
              transform: Optional[Callable] = None) -> Iterator:

@@ -127,6 +127,27 @@ def global_shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     return jax.tree_util.tree_map(put, batch)
 
 
+def global_shard_stacked_batch(batch: Dict, mesh: Mesh,
+                               axis: str = "data") -> Dict:
+    """Multi-process `shard_stacked_batch`: leaves are (N, localB, ...)
+    per host; axis 0 is the scan axis (replicated), axis 1 assembles the
+    global episode axis across hosts."""
+    if jax.process_count() == 1:
+        from .mesh import shard_stacked_batch
+
+        return shard_stacked_batch(batch, mesh, axis)
+
+    def put(x):
+        if np.ndim(x) >= 2:
+            spec = P(None, axis, *([None] * (np.ndim(x) - 2)))
+        else:
+            spec = P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def global_replicate_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Replicate a batch every host holds in full onto the global mesh
     (multi-process validation: all hosts decode the same fixed episodes in

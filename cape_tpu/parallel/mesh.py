@@ -50,6 +50,25 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """`shard_batch` for step-stacked batches of shape (N, B, ...).
+
+    Axis 0 is the scan (steps-per-dispatch) axis — never sharded; axis 1
+    is the episode axis, sharded over the data mesh when divisible,
+    replicated otherwise (same fallback rule as `shard_batch`).
+    """
+    n = mesh.shape[axis]
+
+    def put(x):
+        if np.ndim(x) >= 2 and np.shape(x)[1] % n == 0:
+            spec = P(None, axis, *([None] * (np.ndim(x) - 2)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully-replicate a pytree (params/opt state) over the mesh.
 

@@ -21,20 +21,22 @@ import numpy as np
 from ..config import CAPEConfig
 from ..data.episodic import (EpisodicSampler, episode_batches,
                              eval_batch_plan, validate_episode_batch)
-from ..data.prefetch import prefetch
+from ..data.prefetch import prefetch, stack_batches
 from ..data.mp100 import MP100Dataset
 from ..eval.evaluate import evaluate_cape
 from ..parallel import (global_shard_batch, global_shard_inputs,
+                        global_shard_stacked_batch,
                         host_episode_slice, host_rng,
                         is_main, local_episode_count, make_mesh,
                         maybe_initialize, process_count, replicate,
-                        shard_batch)
+                        shard_batch, shard_stacked_batch)
 from ..utils.debug import debug_enabled
 from ..utils.checkpoint import (CheckpointManager, jax_rng_state,
                                 numpy_rng_state, restore_jax_rng)
 from ..utils.logging import MetricLogger
 from .state import create_train_state
-from .train_step import make_eval_loss_fn, make_train_step
+from .train_step import (make_eval_loss_fn, make_scan_train_step,
+                         make_train_step)
 
 
 def train_loop(
@@ -84,6 +86,11 @@ def train_loop(
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     episodes = cfg.debug_overfit_episodes if overfit else cfg.episodes_per_epoch
     steps_per_epoch = max(episodes // cfg.batch_size, 1)
+    # multi-step dispatch: round the epoch to whole scan groups (a ragged
+    # final group would be a second XLA program for one partial dispatch)
+    spd = max(1, cfg.steps_per_dispatch)
+    if spd > 1:
+        steps_per_epoch = max(steps_per_epoch // spd, 1) * spd
     # per-host input sharding: each host loads its slice of the global
     # episode batch from a process-disjoint sampling stream (the TPU-native
     # DistributedSampler; reference DDP analogue `util/misc.py:341-377`)
@@ -138,7 +145,9 @@ def train_loop(
                   f"(best PCK {best_pck:.2%})", flush=True)
 
     state = replicate(state, mesh)
-    train_step = make_train_step(model, cfg, steps_per_epoch)
+    train_step = (make_scan_train_step(model, cfg, steps_per_epoch)
+                  if spd > 1 else
+                  make_train_step(model, cfg, steps_per_epoch))
     eval_loss_fn = make_eval_loss_fn(model, cfg)
 
     history = []
@@ -148,18 +157,29 @@ def train_loop(
         # shard/device-put on the prefetch thread: transfers overlap the
         # previous step's device compute (per-call transfer latency over
         # the device link otherwise dominates the 6 ms train step)
-        def to_device(b):
+        def validated(gen):
             # episodic-structure validation on the producer thread
             # (reference model-entry checks, cape_model.py:99-117)
-            validate_episode_batch(b)
+            for b in gen:
+                validate_episode_batch(b)
+                yield b
+
+        def to_device(b):
+            if spd > 1:
+                return (global_shard_stacked_batch(b, mesh) if multi
+                        else shard_stacked_batch(b, mesh))
             return (global_shard_batch(b, mesh) if multi
                     else shard_batch(b, mesh))
-        batches = prefetch(episode_batches(
+        stream = validated(episode_batches(
             train_ds, sampler, local_batch, steps_per_epoch,
             cfg.image_size, cfg.max_support_keypoints,
             cfg.max_skeleton_edges, rng,
             num_threads=cfg.num_data_threads,
-        ), transform=to_device)
+        ))
+        if spd > 1:
+            # fuse spd host batches into one (spd, B, ...) dispatch group
+            stream = stack_batches(stream, spd)
+        batches = prefetch(stream, transform=to_device)
         for it, batch in enumerate(logger.log_every(
                 batches, print_freq, header=f"Epoch [{epoch}]")):
             # xprof tracing of steps 2-4 of the first epoch (jax.profiler;
@@ -173,22 +193,27 @@ def train_loop(
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
-            total = float(metrics["total"])
-            if math.isnan(total):
-                raise RuntimeError(
-                    f"NaN loss at epoch {epoch} iter {it} — aborting "
-                    f"(parity with engine_cape.py:206-209)"
+            # spd>1: each metric carries a leading (spd,) axis — log every
+            # real optimizer step so averages/NaN checks stay per-step
+            host_m = {k: np.atleast_1d(np.asarray(v))
+                      for k, v in metrics.items()}
+            for j, total in enumerate(host_m["total"]):
+                total = float(total)
+                if math.isnan(total):
+                    raise RuntimeError(
+                        f"NaN loss at epoch {epoch} step {it * spd + j} — "
+                        f"aborting (parity with engine_cape.py:206-209)"
+                    )
+                logger.update(
+                    loss=total, loss_ce=float(host_m["loss_ce"][j]),
+                    loss_coords=float(host_m["loss_coords"][j]),
+                    grad_norm=float(host_m["grad_norm"][j]),
                 )
-            logger.update(
-                loss=total, loss_ce=float(metrics["loss_ce"]),
-                loss_coords=float(metrics["loss_coords"]),
-                grad_norm=float(metrics["grad_norm"]),
-            )
-            if debug_enabled("DEBUG_CAPE"):
-                parts = " ".join(f"{k}={float(v):.4f}"
-                                 for k, v in sorted(metrics.items()))
-                print(f"[DEBUG_CAPE] epoch {epoch} it {it}: {parts}",
-                      flush=True)
+                if debug_enabled("DEBUG_CAPE"):
+                    parts = " ".join(f"{k}={float(v[j]):.4f}"
+                                     for k, v in sorted(host_m.items()))
+                    print(f"[DEBUG_CAPE] epoch {epoch} it {it * spd + j}: "
+                          f"{parts}", flush=True)
 
         # ---- validation ----
         # batched decode: B episodes per step (one per chip on an N-chip

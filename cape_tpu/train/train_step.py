@@ -42,10 +42,16 @@ def _forward_losses(model: CAPE, cfg: CAPEConfig, params, batch,
                           sample_mask=sample_mask)
 
 
-def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
+def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int,
+                    donate: bool = True, jit: bool = True
                     ) -> Callable[[TrainState, Dict, jax.Array],
                                   Tuple[TrainState, Dict]]:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    ``donate=False`` / ``jit=False`` give an un-donated / traceable step
+    body for embedding inside an outer jit (e.g. the multi-step
+    `lax.fori_loop` in `scripts/bench_device_step.py`, where the carried
+    state must stay live across iterations)."""
     tx = make_optimizer(cfg, steps_per_epoch)
 
     def loss_fn(params, batch, rng):
@@ -53,7 +59,6 @@ def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
         return losses["total"], losses
 
     # donate the state so params/opt-state update in place (no HBM copies)
-    @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -66,7 +71,39 @@ def make_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return train_step
+    if not jit:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_train_step(model: CAPE, cfg: CAPEConfig, steps_per_epoch: int
+                         ) -> Callable[[TrainState, Dict, jax.Array],
+                                       Tuple[TrainState, Dict]]:
+    """N real optimizer steps fused into ONE dispatch via `lax.scan`.
+
+    Takes a STACKED batch pytree — every leaf has a leading
+    `steps_per_dispatch` axis (one slice per optimizer step) — and scans
+    the single-step body over it, splitting the dropout key per step. The
+    device runs N sequential steps without returning to the host, so
+    per-dispatch launch latency (seconds through a relay-attached TPU,
+    ~100 us direct) is paid once per N steps instead of per step. Metrics
+    come back with a leading (N,) axis so the host loop can log each
+    sub-step and keep the NaN hard-exit per-step exact.
+    """
+    inner = make_train_step(model, cfg, steps_per_epoch, jit=False)
+
+    @partial(jax.jit, donate_argnums=0)
+    def scan_step(state: TrainState, stacked_batch: Dict, rng: jax.Array):
+        def body(carry, batch):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, metrics = inner(st, batch, sub)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), stacked_batch)
+        return state, metrics
+
+    return scan_step
 
 
 def make_eval_loss_fn(model: CAPE, cfg: CAPEConfig):

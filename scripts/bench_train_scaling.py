@@ -89,28 +89,36 @@ def main():
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", float("nan"))) if ca else float("nan")
+        step = compiled  # reuse the AOT executable (jit would recompile)
 
-        state, m = step(state, dbatch, jrng)
-        jax.block_until_ready(m["total"])
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            state, m = step(state, dbatch, jrng)
-            jax.block_until_ready(m["total"])
-            ts.append(time.perf_counter() - t0)
-        p50 = float(np.median(ts))
-        tmin = float(np.min(ts))
+        # Timing on the axon relay: block_until_ready on per-iteration
+        # outputs returns early enough to report impossible MFU (>2.0
+        # measured), so per-iteration stamps are untrustworthy. Instead
+        # time `reps` CHAINED steps end-to-end — each step consumes the
+        # previous (donated) state, so the dependency chain forces true
+        # cadence — and divide. The final host fetch of a loss scalar and
+        # one param leaf is a real device->host sync.
+        def run_chain(n):
+            nonlocal state
+            last = None
+            for _ in range(n):
+                state, last = step(state, dbatch, jrng)
+            float(last["total"])  # sync: scalar fetch walks the chain
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0])[:1]
+            return last
+
+        run_chain(3)  # compile + warm
+        t0 = time.perf_counter()
+        run_chain(args.reps)
+        dt = time.perf_counter() - t0
+        p50 = dt / args.reps
         out = {
             "batch": B,
             "remat_decoder": args.remat_decoder,
-            "step_ms_p50": round(p50 * 1e3, 2),
-            "step_ms_min": round(tmin * 1e3, 2),
-            "queries_per_sec_p50": round(B / p50, 1),
-            "queries_per_sec_best": round(B / tmin, 1),
+            "step_ms_chained_avg": round(p50 * 1e3, 2),
+            "queries_per_sec": round(B / p50, 1),
             "xla_flops_per_step": flops,
-            "mfu_p50": round(flops / p50 / PEAK_FLOPS, 4)
-            if np.isfinite(flops) else None,
-            "mfu_best": round(flops / tmin / PEAK_FLOPS, 4)
+            "mfu": round(flops / p50 / PEAK_FLOPS, 4)
             if np.isfinite(flops) else None,
         }
         print(json.dumps(out), flush=True)
