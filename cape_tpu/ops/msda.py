@@ -2,17 +2,26 @@
 
 TPU-native replacement for the reference's `ms_deform_attn_core_pytorch`
 (`models/deformable_transformer.py:115-141`), which loops per level calling
-`F.grid_sample`. Here the whole gather + bilinear-interpolate + weighted-sum
-is expressed as XLA gathers over the flattened multi-level memory with
-statically-known level shapes, so XLA fuses the index math, masking and
-accumulation into a single tiled program. A Pallas kernel lives in
-`msda_pallas.py` for further speedup; this XLA formulation is the
-always-correct fallback and the autodiff path.
+`F.grid_sample`.
+
+Formulation (round 3, chosen BY MEASUREMENT — scripts/bench_msda_variants.py):
+the naive port gathers each of the 4 bilinear corners separately with
+32-element rows, a shape XLA:TPU lowers ~20x off the achievable gather
+rate (129.7 ms at the flagship encoder shape, ~95% of the whole train
+step). The production path instead packs, per level and head, the 2x2
+neighborhood of every grid cell into ONE contiguous 4*Dh = 128-wide row
+("quad rows"), so each sample needs a single wide lane-aligned gather that
+returns all four corners at once; the bilinear weights then blend them
+in-register. Measured: 37.7 ms forward (3.4x), 69 ms fwd+bwd via plain
+autodiff (the gather transpose scatters 128-wide rows, which XLA handles;
+the 4-corner scatter of the naive form crashes the TPU compiler).
 
 Bilinear semantics match `F.grid_sample(mode='bilinear',
 padding_mode='zeros', align_corners=False)` exactly: with normalized
 location `loc` in [0,1], the continuous pixel coordinate is
 `loc * size - 0.5`, and out-of-bounds corners contribute zero.
+`ms_deform_attn_core_naive` keeps the direct 4-corner-gather formulation
+as the numerical oracle for property tests.
 """
 
 from __future__ import annotations
@@ -21,6 +30,70 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _level_offsets(spatial_shapes) -> Tuple[int, ...]:
+    offs, start = [], 0
+    for (h, w) in spatial_shapes:
+        offs.append(start)
+        start += h * w
+    return tuple(offs)
+
+
+def _quad_rows(level_value: jnp.ndarray, Wl: int) -> jnp.ndarray:
+    """(B, HW, Dh) level slice -> (B, F+HW, 4*Dh) quad rows.
+
+    Row `F + s` holds [v[s], v[s+1], v[s+Wl], v[s+Wl+1]] — the 2x2 bilinear
+    neighborhood of flat cell s, contiguous along the lane dimension.
+    F = Wl+1 front padding keeps base indices down to -Wl-1 (corner cell
+    (-1,-1)) in range; every out-of-bounds corner gets zero weight, so the
+    wrap-around neighbors a flat index picks up at row edges are harmless.
+    """
+    B, HW, Dh = level_value.shape
+    F = Wl + 1
+    vp = jnp.pad(level_value, ((0, 0), (F, Wl + 1), (0, 0)))
+    n = F + HW
+    quad = jnp.stack(
+        [vp[:, 0:n], vp[:, 1:n + 1],
+         vp[:, Wl:n + Wl], vp[:, Wl + 1:n + Wl + 1]], axis=2)
+    return quad.reshape(B, n, 4 * Dh)
+
+
+def _quad_bases_and_weights(spatial_shapes, sampling_locations,
+                            attention_weights, dtype):
+    """Per level: base row index (F-offset folded in) + 4 corner weights.
+
+    base: (B, Lq, H, P) int32 into the level's quad-row array;
+    w4:   (B, Lq, H, P, 4) bilinear * attention weight, zeroed where the
+          corner is out of bounds (validity judged on the UNCLIPPED corner
+          coordinate — the grid_sample zeros-padding contract).
+    """
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, lvl]
+        w_attn = attention_weights[:, :, :, lvl]
+        x = loc[..., 0] * Wl - 0.5
+        y = loc[..., 1] * Hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0).astype(dtype)
+        fy = (y - y0).astype(dtype)
+        x0u = x0.astype(jnp.int32)
+        y0u = y0.astype(jnp.int32)
+        x0c = jnp.clip(x0u, -1, Wl - 1)
+        y0c = jnp.clip(y0u, -1, Hl - 1)
+        base = (Wl + 1) + y0c * Wl + x0c
+        ws = []
+        for dxi, dyi, wgt in (
+            (0, 0, (1 - fx) * (1 - fy)),
+            (1, 0, fx * (1 - fy)),
+            (0, 1, (1 - fx) * fy),
+            (1, 1, fx * fy),
+        ):
+            cx = x0u + dxi
+            cy = y0u + dyi
+            valid = (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl)
+            ws.append((wgt * valid.astype(dtype) * w_attn).astype(dtype))
+        yield lvl, base, jnp.stack(ws, axis=-1)
 
 
 def ms_deform_attn_core(
@@ -45,15 +118,49 @@ def ms_deform_attn_core(
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes), "levels mismatch"
 
-    # (B, H, S, Dh) so the gather axis is contiguous per head
-    value_bh = jnp.swapaxes(value, 1, 2)
+    offs = _level_offsets(spatial_shapes)
+    out = jnp.zeros((B, Lq, H, Dh), dtype=value.dtype)
+    for lvl, base, w4 in _quad_bases_and_weights(
+            spatial_shapes, sampling_locations, attention_weights,
+            value.dtype):
+        Hl, Wl = spatial_shapes[lvl]
+        HW = Hl * Wl
+        lv = jax.lax.dynamic_slice_in_dim(value, offs[lvl], HW, 1)
+        per_head = []
+        for h in range(H):
+            quad = _quad_rows(lv[:, :, h], Wl)
+            gi = base[:, :, h].reshape(B, Lq * P)
+            g = jnp.take_along_axis(quad, gi[..., None], axis=1)
+            g = g.reshape(B, Lq, P, 4, Dh)
+            per_head.append((g * w4[:, :, h][..., None]).sum(axis=(2, 3)))
+        out = out + jnp.stack(per_head, axis=2)
 
+    return out.reshape(B, Lq, H * Dh)
+
+
+def ms_deform_attn_core_naive(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Direct 4-corner-gather formulation — the numerical oracle.
+
+    Computes the identical function as `ms_deform_attn_core` the obvious
+    way (one narrow gather per bilinear corner). ~3.4x slower on TPU and
+    its backward crashes the TPU compiler at large shapes; kept ONLY as
+    the property-test oracle for the quad-row production path.
+    """
+    B, S, H, Dh = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes), "levels mismatch"
+
+    value_bh = jnp.swapaxes(value, 1, 2)
     out = jnp.zeros((B, H, Lq, Dh), dtype=value.dtype)
     level_start = 0
     for lvl, (Hl, Wl) in enumerate(spatial_shapes):
-        loc = sampling_locations[:, :, :, lvl]        # (B, Lq, H, P, 2)
-        w_attn = attention_weights[:, :, :, lvl]      # (B, Lq, H, P)
-        # grid_sample align_corners=False pixel mapping
+        loc = sampling_locations[:, :, :, lvl]
+        w_attn = attention_weights[:, :, :, lvl]
         x = loc[..., 0] * Wl - 0.5
         y = loc[..., 1] * Hl - 0.5
         x0 = jnp.floor(x)
@@ -63,7 +170,6 @@ def ms_deform_attn_core(
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
-        # accumulate 4 corners; masked-to-zero outside the level
         for dxi, dyi, wgt in (
             (0, 0, (1 - fx) * (1 - fy)),
             (1, 0, fx * (1 - fy)),
@@ -73,18 +179,17 @@ def ms_deform_attn_core(
             cx = x0i + dxi
             cy = y0i + dyi
             valid = (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl)
-            idx = level_start + jnp.clip(cy, 0, Hl - 1) * Wl + jnp.clip(cx, 0, Wl - 1)
+            idx = level_start + jnp.clip(cy, 0, Hl - 1) * Wl + \
+                jnp.clip(cx, 0, Wl - 1)
             w = (wgt * valid.astype(value.dtype) * w_attn).astype(value.dtype)
-            # (B, Lq, H, P) -> (B, H, Lq*P)
             idx_bh = jnp.swapaxes(idx, 1, 2).reshape(B, H, Lq * P)
             gathered = jnp.take_along_axis(
                 value_bh, idx_bh[..., None], axis=2
-            )  # (B, H, Lq*P, Dh)
+            )
             w_bh = jnp.swapaxes(w, 1, 2).reshape(B, H, Lq * P, 1)
             out = out + (gathered * w_bh).reshape(B, H, Lq, P, Dh).sum(axis=3)
         level_start += Hl * Wl
 
-    # (B, H, Lq, Dh) -> (B, Lq, H*Dh)
     return jnp.swapaxes(out, 1, 2).reshape(B, Lq, H * Dh)
 
 

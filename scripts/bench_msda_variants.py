@@ -27,6 +27,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def level_offsets(spatial_shapes):
+    offs, start = [], 0
+    for (h, w) in spatial_shapes:
+        offs.append(start)
+        start += h * w
+    return offs
+
+
 def corner_terms(spatial_shapes, sampling_locations, attention_weights,
                  dtype):
     """Shared index/weight math: yields (level, corner) -> (idx, w).
@@ -78,16 +86,14 @@ def make_variants():
         flat = value.reshape(B, S, H * Dh)
         eye = jnp.eye(H, dtype=value.dtype)
         out = jnp.zeros((B, Lq, H, Dh), dtype=value.dtype)
-        level_start = 0
+        offs = level_offsets(shapes)
         for lvl, idx, w in corner_terms(shapes, loc, attn, value.dtype):
-            Hl, Wl = shapes[lvl]
-            gi = (level_start + idx).reshape(B, Lq * H * P)
+            gi = (offs[lvl] + idx).reshape(B, Lq * H * P)
             g = jnp.take_along_axis(flat, gi[..., None], axis=1)
             g = g.reshape(B, Lq, H, P, H, Dh)
             # select head h's channel block for head h's samples
             g = jnp.einsum("bqhpkd,hk->bqhpd", g, eye)
             out = out + (g * w[..., None]).sum(axis=3)
-            level_start += Hl * Wl
         return out.reshape(B, Lq, H * Dh)
 
     def v3_onehot_small(value, shapes, loc, attn):
@@ -98,23 +104,22 @@ def make_variants():
         out = jnp.zeros((B, Lq, H, Dh), dtype=value.dtype)
         flat = value.reshape(B, S, H * Dh)
         eye = jnp.eye(H, dtype=value.dtype)
-        level_start = 0
+        offs = level_offsets(shapes)
         for lvl, idx, w in corner_terms(shapes, loc, attn, value.dtype):
             Hl, Wl = shapes[lvl]
             HW = Hl * Wl
-            lv = jax.lax.dynamic_slice_in_dim(value, level_start, HW, 1)
+            lv = jax.lax.dynamic_slice_in_dim(value, offs[lvl], HW, 1)
             if HW <= 1024:
                 # (B,Lq,H,P,HW) one-hot contracted on MXU; weight folded in
                 oh = jax.nn.one_hot(idx, HW, dtype=value.dtype)
                 oh = oh * w[..., None]
                 out = out + jnp.einsum("bqhps,bshd->bqhd", oh, lv)
             else:
-                gi = (level_start + idx).reshape(B, Lq * H * P)
+                gi = (offs[lvl] + idx).reshape(B, Lq * H * P)
                 g = jnp.take_along_axis(flat, gi[..., None], axis=1)
                 g = g.reshape(B, Lq, H, P, H, Dh)
                 g = jnp.einsum("bqhpkd,hk->bqhpd", g, eye)
                 out = out + (g * w[..., None]).sum(axis=3)
-            level_start += HW
         return out.reshape(B, Lq, H * Dh)
 
     def v4_onehot_all(value, shapes, loc, attn):
@@ -122,13 +127,81 @@ def make_variants():
         B, S, H, Dh = value.shape
         Lq = loc.shape[1]
         out = jnp.zeros((B, Lq, H, Dh), dtype=value.dtype)
-        level_start = 0
+        offs = level_offsets(shapes)
         for lvl, idx, w in corner_terms(shapes, loc, attn, value.dtype):
             Hl, Wl = shapes[lvl]
             HW = Hl * Wl
-            lv = jax.lax.dynamic_slice_in_dim(value, level_start, HW, 1)
+            lv = jax.lax.dynamic_slice_in_dim(value, offs[lvl], HW, 1)
             oh = jax.nn.one_hot(idx, HW, dtype=value.dtype) * w[..., None]
             out = out + jnp.einsum("bqhps,bshd->bqhd", oh, lv)
+        return out.reshape(B, Lq, H * Dh)
+
+    def _quad_level(lv, Wl):
+        """(B, HW, Dh) level slice -> (B, F+HW+W+1, 4*Dh) quad rows where
+        row s holds [v[s], v[s+1], v[s+W], v[s+W+1]] (F = W+1 front pad so
+        base indices down to -W-1 stay in range; OOB corners carry zero
+        attention weight so garbage neighbors are harmless)."""
+        B, HW, Dh = lv.shape
+        F = Wl + 1
+        vp = jnp.pad(lv, ((0, 0), (F, Wl + 1), (0, 0)))
+        n = F + HW  # quad rows cover base indices s in [-F, HW-1]
+        quad = jnp.stack(
+            [vp[:, 0:n], vp[:, 1:n + 1],
+             vp[:, Wl:n + Wl], vp[:, Wl + 1:n + Wl + 1]], axis=2)
+        return quad.reshape(B, n, 4 * Dh)
+
+    def quad_corners(shapes, loc, attn, dtype):
+        """Base index (into the F-padded quad array) + 4 corner weights."""
+        for lvl, (Hl, Wl) in enumerate(shapes):
+            l_ = loc[:, :, :, lvl]
+            w_attn = attn[:, :, :, lvl]
+            x = l_[..., 0] * Wl - 0.5
+            y = l_[..., 1] * Hl - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = (x - x0).astype(dtype)
+            fy = (y - y0).astype(dtype)
+            x0u = x0.astype(jnp.int32)
+            y0u = y0.astype(jnp.int32)
+            x0i = jnp.clip(x0u, -1, Wl - 1)
+            y0i = jnp.clip(y0u, -1, Hl - 1)
+            base = (Wl + 1) + y0i * Wl + x0i  # F offset folded in
+            ws = []
+            for dxi, dyi, wgt in (
+                (0, 0, (1 - fx) * (1 - fy)),
+                (1, 0, fx * (1 - fy)),
+                (0, 1, (1 - fx) * fy),
+                (1, 1, fx * fy),
+            ):
+                # validity from the UNCLIPPED corner (clipped base would
+                # claim an in-range neighbor for a truly OOB corner)
+                cx = x0u + dxi
+                cy = y0u + dyi
+                valid = (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl) & \
+                    (x0u == x0i) & (y0u == y0i)
+                ws.append((wgt * valid.astype(dtype) * w_attn).astype(dtype))
+            yield lvl, base, jnp.stack(ws, axis=-1)  # (B,Lq,H,P,4)
+
+    def v5_quad_head(value, shapes, loc, attn):
+        """Per-(level, head) gather of 4*Dh=128-wide quad rows: one gather
+        per sample covering all 4 bilinear corners."""
+        B, S, H, Dh = value.shape
+        _, Lq, _, L, P, _ = loc.shape
+        out = jnp.zeros((B, Lq, H, Dh), dtype=value.dtype)
+        level_start = 0
+        for lvl, base, w4 in quad_corners(shapes, loc, attn, value.dtype):
+            Hl, Wl = shapes[lvl]
+            HW = Hl * Wl
+            lv = jax.lax.dynamic_slice_in_dim(value, level_start, HW, 1)
+            per_head = []
+            for h in range(H):
+                quad = _quad_level(lv[:, :, h], Wl)  # (B, pad+HW+pad, 4Dh)
+                gi = base[:, :, h].reshape(B, Lq * P)
+                g = jnp.take_along_axis(quad, gi[..., None], axis=1)
+                g = g.reshape(B, Lq, P, 4, Dh)
+                per_head.append(
+                    (g * w4[:, :, h][..., None]).sum(axis=(2, 3)))
+            out = out + jnp.stack(per_head, axis=2)
             level_start += HW
         return out.reshape(B, Lq, H * Dh)
 
@@ -137,6 +210,7 @@ def make_variants():
         "v1_wide_row": v1_wide_row,
         "v3_onehot_small": v3_onehot_small,
         "v4_onehot_all": v4_onehot_all,
+        "v5_quad_head": v5_quad_head,
     }
 
 
@@ -177,21 +251,21 @@ def main():
 
     # numerical check vs baseline on a small slice (f32 for tolerance)
     from cape_tpu.ops.msda import ms_deform_attn_core
-    vs = np.asarray(value[:1, :, :, :].astype(jnp.float32))
-    ls = np.asarray(loc[:1, :64])
-    ats = np.asarray(attn[:1, :64].astype(jnp.float32))
-    ref = np.asarray(ms_deform_attn_core(
-        jnp.asarray(vs), shapes, jnp.asarray(ls), jnp.asarray(ats)))
+    vs = jnp.asarray(np.asarray(value[:1].astype(jnp.float32)))
+    ls = jnp.asarray(np.asarray(loc[:1, :64]))
+    ats = jnp.asarray(np.asarray(attn[:1, :64].astype(jnp.float32)))
+    ref = np.asarray(jax.jit(
+        lambda v, l, a: ms_deform_attn_core(v, shapes, l, a))(vs, ls, ats))
 
     results = {}
     for name, fn in variants.items():
         if name != "v0_baseline":
-            got = np.asarray(fn(jnp.asarray(vs), shapes, jnp.asarray(ls),
-                                jnp.asarray(ats)))
+            got = np.asarray(jax.jit(
+                lambda v, l, a, f=fn: f(v, shapes, l, a))(vs, ls, ats))
             err = float(np.max(np.abs(got - ref)))
             print(f"{name}: max abs err vs baseline {err:.2e}",
                   file=sys.stderr)
-            if err > 1e-3:
+            if not (err <= 1e-3):  # catches NaN too
                 print(f"{name}: INCORRECT, skipping timing", file=sys.stderr)
                 results[name] = {"error": err}
                 continue
