@@ -11,10 +11,15 @@ rate (129.7 ms at the flagship encoder shape, ~95% of the whole train
 step). The production path instead packs, per level and head, the 2x2
 neighborhood of every grid cell into ONE contiguous 4*Dh = 128-wide row
 ("quad rows"), so each sample needs a single wide lane-aligned gather that
-returns all four corners at once; the bilinear weights then blend them
-in-register. Measured: 37.7 ms forward (3.4x), 69 ms fwd+bwd via plain
-autodiff (the gather transpose scatters 128-wide rows, which XLA handles;
-the 4-corner scatter of the naive form crashes the TPU compiler).
+returns all four corners at once. The P points stay concatenated as a
+512-wide lane-aligned row and the bilinear/attention blend + corner/point
+reduction happen via lane-repeated weights and one constant (P*4*Dh, Dh)
+summing matmul on the MXU — narrow-minor (Dh=32) temps would pad 4x on
+TPU tiles, bloating HBM traffic and compile-time memory (B=16 without
+remat OOMs with an elementwise reduction). Measured: 32.1 ms forward
+(4.0x over naive), 53.1 ms fwd+bwd via plain autodiff (the gather
+transpose scatters 128-wide rows, which XLA handles; the 4-corner scatter
+of the naive form crashes the TPU compiler).
 
 Bilinear semantics match `F.grid_sample(mode='bilinear',
 padding_mode='zeros', align_corners=False)` exactly: with normalized
@@ -119,23 +124,27 @@ def ms_deform_attn_core(
     assert L == len(spatial_shapes), "levels mismatch"
 
     offs = _level_offsets(spatial_shapes)
-    out = jnp.zeros((B, Lq, H, Dh), dtype=value.dtype)
+    # constant corner/point summing matrix: row p*4*Dh + c*Dh + d -> col d
+    sum_m = jnp.tile(jnp.eye(Dh, dtype=value.dtype), (P * 4, 1))
+    out = jnp.zeros((B, Lq, H * Dh), dtype=value.dtype)
     for lvl, base, w4 in _quad_bases_and_weights(
             spatial_shapes, sampling_locations, attention_weights,
             value.dtype):
         Hl, Wl = spatial_shapes[lvl]
         HW = Hl * Wl
         lv = jax.lax.dynamic_slice_in_dim(value, offs[lvl], HW, 1)
-        per_head = []
+        heads = []
         for h in range(H):
             quad = _quad_rows(lv[:, :, h], Wl)
             gi = base[:, :, h].reshape(B, Lq * P)
             g = jnp.take_along_axis(quad, gi[..., None], axis=1)
-            g = g.reshape(B, Lq, P, 4, Dh)
-            per_head.append((g * w4[:, :, h][..., None]).sum(axis=(2, 3)))
-        out = out + jnp.stack(per_head, axis=2)
+            g = g.reshape(B, Lq, P * 4 * Dh)  # 512-wide, lane-aligned
+            w = w4[:, :, h].reshape(B, Lq, P * 4)
+            gw = g * jnp.repeat(w, Dh, axis=-1)
+            heads.append(jnp.einsum("bqk,kd->bqd", gw, sum_m))
+        out = out + jnp.concatenate(heads, axis=-1)
 
-    return out.reshape(B, Lq, H * Dh)
+    return out
 
 
 def ms_deform_attn_core_naive(

@@ -43,6 +43,8 @@ def main():
                    help="timed executions per K (min taken)")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--remat_decoder", action="store_true")
+    p.add_argument("--no_remat_encoder", action="store_true")
+    p.add_argument("--no_dropout", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -59,9 +61,11 @@ def main():
     assert k_hi > k_lo, "need two distinct K values for the slope"
 
     for B in args.batch:
-        cfg = CAPEConfig(dropout=0.1, batch_size=B, accumulation_steps=1,
+        cfg = CAPEConfig(dropout=0.0 if args.no_dropout else 0.1,
+                         batch_size=B, accumulation_steps=1,
                          image_size=args.image_size,
-                         remat_decoder=args.remat_decoder)
+                         remat_decoder=args.remat_decoder,
+                         remat_encoder=not args.no_remat_encoder)
         model = CAPE(cfg)
         rng = np.random.default_rng(0)
         S, K, E = (cfg.image_size, cfg.max_support_keypoints,

@@ -163,31 +163,42 @@ def main():
     step = make_train_step(model, cfg, steps_per_epoch=100)
     jrng = jax.random.PRNGKey(0)
 
-    # device-resident step time (compile + settle first)
+    # device-resident step time. Timing protocol (relay-honest, see
+    # PERF.md round-3 note): chain N steps through the donated state and
+    # sync ONCE with a real device->host value fetch — per-iteration
+    # block_until_ready returns early through the axon relay.
     dbatch = shard_batch(probe, mesh)
-    state, m = step(state, dbatch, jrng)
-    jax.block_until_ready(m["total"])
 
-    def dev_step():
+    def run_chain(n):
         nonlocal state
-        state, m = step(state, dbatch, jrng)
-        jax.block_until_ready(m["total"])
+        m = None
+        for _ in range(n):
+            state, m = step(state, dbatch, jrng)
+        float(m["total"])
 
-    results["device_step_ms"] = round(timeit(dev_step, 10) * 1e3, 2)
+    run_chain(3)  # compile + warm
+    t0 = time.perf_counter()
+    run_chain(steps)
+    results["device_step_ms"] = round(
+        (time.perf_counter() - t0) / steps * 1e3, 2)
 
-    # loader-fed sustained loop (prefetch thread device-puts)
+    # loader-fed sustained loop (prefetch thread device-puts); same
+    # chained timing: total wall over `steps` steps with one final sync
     def sustained(thr):
         batches = prefetch(make_batches(steps + 3, thr),
                            transform=lambda b: shard_batch(b, mesh))
         nonlocal state
-        ts = []
+        m = None
+        n = t0 = 0
         for i, b in enumerate(batches):
-            t0 = time.perf_counter()
+            if i == 3:  # skip warm-in
+                float(m["total"])
+                t0 = time.perf_counter()
             state, m = step(state, b, jrng)
-            jax.block_until_ready(m["total"])
-            if i >= 3:  # skip warm-in
-                ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) if ts else float("nan")
+            if i >= 3:
+                n += 1
+        float(m["total"])
+        return (time.perf_counter() - t0) / n if n else float("nan")
 
     for thr in sorted({1, threads}):
         key = f"sustained_step_ms_threads{thr}"
