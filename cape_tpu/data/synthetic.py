@@ -25,6 +25,7 @@ def make_synthetic_mp100(
     seed: int = 0,
     learnable: bool = False,
     num_splits: int = 1,
+    num_holdout: int = 4,
 ) -> Dict[str, str]:
     """Write a synthetic MP-100 tree under `root`.
 
@@ -85,8 +86,10 @@ def make_synthetic_mp100(
         # category-consistent relative layout within the bbox
         cat_layouts[cid] = rng.uniform(0.12, 0.88, size=(n_kpts, 2))
 
-    # meta-split: >=2 categories each for episodic sampling
-    n_train = max(2, num_categories - 4)
+    # meta-split: >=2 categories each for episodic sampling. `num_holdout`
+    # categories split evenly between val and test (scaled fixtures want
+    # more than the default 2+2 for stable unseen-category PCK).
+    n_train = max(2, num_categories - num_holdout)
     n_val = max(1, (num_categories - n_train) // 2)
     cat_ids = [c["id"] for c in categories]
     split_map = {

@@ -111,7 +111,7 @@ class CAPE(nn.Module):
             num_layers=cfg.enc_layers, d_model=cfg.hidden_dim,
             d_ffn=cfg.dim_feedforward, dropout=cfg.dropout,
             n_levels=cfg.num_feature_levels, n_heads=cfg.nheads,
-            n_points=cfg.enc_n_points, remat=cfg.remat_encoder,
+            n_points=cfg.enc_n_points, remat=cfg.use_remat_encoder,
             use_pallas=cfg.use_pallas_msda, dtype=dtype,
         )
         self.decoder = Decoder(

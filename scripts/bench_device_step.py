@@ -65,7 +65,8 @@ def main():
                          batch_size=B, accumulation_steps=1,
                          image_size=args.image_size,
                          remat_decoder=args.remat_decoder,
-                         remat_encoder=not args.no_remat_encoder)
+                         remat_encoder=(False if args.no_remat_encoder
+                                        else None))
         model = CAPE(cfg)
         rng = np.random.default_rng(0)
         S, K, E = (cfg.image_size, cfg.max_support_keypoints,
