@@ -18,6 +18,16 @@ import jax.numpy as jnp
 from .attention import NEG_INF
 
 
+def _activation(name: str):
+    """Mlp activation by name. 'gelu' is exact (erf) — torch `nn.GELU`'s
+    default, which the reference's timm `Mlp` blocks use."""
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "relu":
+        return nn.relu
+    raise ValueError(f"unsupported activation {name!r}")
+
+
 class BiXAttn(nn.Module):
     """Shared-logit bidirectional cross-attention (`bixattn.py:32-84`)."""
 
@@ -74,6 +84,7 @@ class BiXAttnBlock(nn.Module):
     dim: int
     num_heads: int = 8
     mlp_ratio: float = 4.0
+    act: str = "gelu"                 # v3 builds its blocks with relu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,11 +96,12 @@ class BiXAttnBlock(nn.Module):
         )
         x = x + dx
         y = y + dy
+        act = _activation(self.act)
 
         def mlp(z, name):
             h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                          name=f"{name}_fc1")(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(z))
-            h = nn.gelu(h)
+            h = act(h)
             return z + nn.Dense(self.dim, dtype=self.dtype,
                                 name=f"{name}_fc2")(h)
 
@@ -103,6 +115,7 @@ class CAOneSidedBlock(nn.Module):
     dim: int
     num_heads: int = 8
     mlp_ratio: float = 4.0
+    act: str = "gelu"                 # v3 builds its blocks with relu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,5 +131,5 @@ class CAOneSidedBlock(nn.Module):
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         )
-        x = x + nn.Dense(self.dim, dtype=self.dtype)(nn.gelu(h))
+        x = x + nn.Dense(self.dim, dtype=self.dtype)(_activation(self.act)(h))
         return x, y

@@ -30,8 +30,14 @@ import jax
 import jax.numpy as jnp
 
 from .attention import MultiHeadAttention
+from .decoder_variants import DecoderLayerV2, DecoderLayerV3, DecoderLayerVC
 from .deformable import MSDeformAttn
 from .position_encoding import query_sine_embed
+
+#: decoder-layer variants (`deformable_transformer_v2.py:76-115` dispatch).
+#: v1 is the flagship CAPE layer; v2-v6 are the reference's experimental,
+#: support-free layers (see `decoder_variants.py`).
+LAYER_TYPES = ("v1", "v2", "v3", "v4", "v41", "v5", "v6")
 
 
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -197,6 +203,16 @@ class Decoder(nn.Module):
     num_classes: int = 3
     pad_id: int = 1939
     use_pallas: bool = False
+    # decoder-layer variant (`dtv2:76-115`). v1 = the CAPE-complete layer
+    # (support cross-attention + KV-cached autoregressive decode). v2-v6 =
+    # the reference's experimental support-free layers, teacher-forced path
+    # only — exactly the capability the reference has (they crash on its
+    # CAPE/decode path, see decoder_variants.py).
+    layer_type: str = "v1"
+    # prepend src-derived tokens to self-attention K/V for v4/v41/v5/v6
+    # (`--dec_attn_concat_src`; the reference builder then disables the
+    # extra q/k/v pre-projections, `dtv2:80-115`)
+    attn_concat_src: bool = True
     # 'sine' | 'none' (`deformable_transformer_v2.py:1078-1081`)
     query_pos_type: str = "sine"
     # iterative refinement per layer; off = only the last layer refines the
@@ -225,13 +241,47 @@ class Decoder(nn.Module):
         if self.query_pos_type == "sine":
             self.pos_trans = nn.Dense(self.d_model, dtype=self.dtype)
             self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.layers = [
-            DecoderLayer(self.d_model, self.d_ffn, self.dropout,
-                         self.n_levels, self.n_heads, self.n_points,
-                         use_pallas=self.use_pallas,
-                         dtype=self.dtype, name=f"layer_{i}")
-            for i in range(self.num_layers)
-        ]
+        if self.layer_type not in LAYER_TYPES:
+            raise ValueError(
+                f"layer_type={self.layer_type!r}: expected one of "
+                f"{LAYER_TYPES} (dtv2:76-115)"
+            )
+        if self.layer_type == "v1":
+            self.layers = [
+                DecoderLayer(self.d_model, self.d_ffn, self.dropout,
+                             self.n_levels, self.n_heads, self.n_points,
+                             use_pallas=self.use_pallas,
+                             dtype=self.dtype, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
+        elif self.layer_type == "v2":
+            self.layers = [
+                DecoderLayerV2(self.d_model, self.d_ffn, self.dropout,
+                               self.n_levels, self.n_heads, self.n_points,
+                               use_pallas=self.use_pallas,
+                               dtype=self.dtype, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
+        elif self.layer_type == "v3":
+            self.layers = [
+                DecoderLayerV3(self.d_model, self.d_ffn, self.dropout,
+                               self.n_heads,
+                               is_last=(i == self.num_layers - 1),
+                               dtype=self.dtype, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
+        else:
+            self.layers = [
+                DecoderLayerVC(variant=self.layer_type,
+                               d_model=self.d_model, d_ffn=self.d_ffn,
+                               dropout=self.dropout, n_levels=self.n_levels,
+                               n_heads=self.n_heads, n_points=self.n_points,
+                               attn_concat_src=self.attn_concat_src,
+                               use_qkv_proj=not self.attn_concat_src,
+                               use_pallas=self.use_pallas,
+                               dtype=self.dtype, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
         bias_init = nn.initializers.constant(-jnp.log((1 - 0.01) / 0.01))
         self.class_heads = [
             nn.Dense(self.num_classes, bias_init=bias_init, dtype=self.dtype,
@@ -314,18 +364,43 @@ class Decoder(nn.Module):
             ref_input = jnp.broadcast_to(
                 ref[:, :, None, :], (B, L, self.n_levels, 2)
             )
-            x = layer.forward_train(
-                x, query_pos, ref_input, memory, spatial_shapes, causal,
-                support_features, support_mask, deterministic=deterministic,
-            )
+            if self.layer_type == "v1":
+                x = layer.forward_train(
+                    x, query_pos, ref_input, memory, spatial_shapes, causal,
+                    support_features, support_mask,
+                    deterministic=deterministic,
+                )
+            elif self.layer_type == "v3":
+                # v3 updates the memory too; thread it through the stack
+                # (`dtv2:1092-1093`)
+                x, memory = layer(
+                    x, query_pos, ref_input, memory, spatial_shapes, causal,
+                    deterministic=deterministic,
+                )
+            else:
+                x = layer(
+                    x, query_pos, ref_input, memory, spatial_shapes, causal,
+                    deterministic=deterministic,
+                )
             ref = self._refine(lid, x, ref)
             classes.append(self.class_heads[lid](x))
             refs.append(ref)
         return jnp.stack(classes), jnp.stack(refs)
 
     # ------------------------------------------------------------------
+    def _require_v1(self, what: str):
+        if self.layer_type != "v1":
+            raise ValueError(
+                f"{what} requires layer_type='v1': the v2-v6 variants are "
+                "teacher-forced-only experimental layers, as in the "
+                "reference (they crash on its CAPE/decode path — "
+                "dtv2:1085-1091 passes support kwargs their forwards do "
+                "not accept; v2/v3 also lack KV caches)"
+            )
+
     def precompute_static(self, memory, support_features):
         """Per-layer projections of decode-time-constant inputs."""
+        self._require_v1("autoregressive decode (precompute_static)")
         mem_values = [l.memory_value(memory) for l in self.layers]
         support_kvs = [l.support_kv(support_features) for l in self.layers]
         return mem_values, support_kvs

@@ -49,8 +49,26 @@ def install_reference():
     _stub("torchvision.transforms")
     _stub("pycocotools")
     _stub("pycocotools.coco", COCO=object)
+    class Mlp(nn.Module):
+        """Faithful minimal stand-in for `timm.layers.Mlp` (fc1 -> act ->
+        drop -> fc2 -> drop), enough to run the reference BiX blocks."""
+
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=nn.GELU, drop=0.0, **kw):
+            super().__init__()
+            hidden = hidden_features or in_features
+            out = out_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden)
+            self.act = act_layer()
+            self.drop1 = nn.Dropout(drop)
+            self.fc2 = nn.Linear(hidden, out)
+            self.drop2 = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
+
     _stub("timm")
-    _stub("timm.layers", DropPath=nn.Identity)
+    _stub("timm.layers", DropPath=nn.Identity, Mlp=Mlp)
     sys.path.insert(0, _REF)
 
 
