@@ -31,10 +31,12 @@ as the numerical oracle for property tests.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from .gather_mxu import default_gather_impl, quad_gather
 
 
 def _level_offsets(spatial_shapes) -> Tuple[int, ...]:
@@ -106,6 +108,7 @@ def ms_deform_attn_core(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    gather_impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sample multi-level features at fractional locations and blend.
 
@@ -115,10 +118,14 @@ def ms_deform_attn_core(
             constants — XLA requires static shapes, SURVEY.md §7.1).
         sampling_locations: (B, Lq, H, L, P, 2) normalized (x, y) in [0,1].
         attention_weights: (B, Lq, H, L, P) softmax weights over L*P.
+        gather_impl: 'xla' | 'mxu' row-gather backend (None = the
+            CAPE_MSDA_GATHER process default; see ops/gather_mxu.py).
 
     Returns:
         (B, Lq, H * Dh) attended features.
     """
+    if gather_impl is None:
+        gather_impl = default_gather_impl()
     B, S, H, Dh = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes), "levels mismatch"
@@ -137,7 +144,7 @@ def ms_deform_attn_core(
         for h in range(H):
             quad = _quad_rows(lv[:, :, h], Wl)
             gi = base[:, :, h].reshape(B, Lq * P)
-            g = jnp.take_along_axis(quad, gi[..., None], axis=1)
+            g = quad_gather(quad, gi, impl=gather_impl)
             g = g.reshape(B, Lq, P * 4 * Dh)  # 512-wide, lane-aligned
             w = w4[:, :, h].reshape(B, Lq, P * 4)
             gw = g * jnp.repeat(w, Dh, axis=-1)

@@ -272,10 +272,19 @@ def make_variants():
             out = out + jnp.concatenate(heads, axis=-1)
         return out
 
+    def v9_quad_mxu(value, shapes, loc, attn):
+        """Production quad-row path with the gather swapped for the
+        one-hot MXU Pallas kernel (`ops/gather_mxu.py`): the one-hot tile
+        is generated in VMEM, so the matmul trick pays no HBM traffic
+        (unlike v4's XLA one-hot, which round-trips ~GBs)."""
+        return ms_deform_attn_core(value, shapes, loc, attn,
+                                   gather_impl="mxu")
+
     return {
         "v0_baseline": v0_baseline,
         "probe_pure_gather": probe_pure_gather,
         "v8_quad_matmul": v8_quad_matmul,
+        "v9_quad_mxu": v9_quad_mxu,
         "v1_wide_row": v1_wide_row,
         "v3_onehot_small": v3_onehot_small,
         "v4_onehot_all": v4_onehot_all,
