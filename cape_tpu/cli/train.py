@@ -74,6 +74,13 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--nheads", type=int, default=d.nheads)
     p.add_argument("--dec_n_points", type=int, default=d.dec_n_points)
     p.add_argument("--enc_n_points", type=int, default=d.enc_n_points)
+    # experimental decoder layer variants (train_cape_episodic.py:220-222)
+    p.add_argument("--dec_layer_type", default=d.dec_layer_type,
+                   choices=["v1", "v2", "v3", "v4", "v41", "v5", "v6"])
+    p.add_argument("--dec_attn_concat_src", action="store_true",
+                   default=d.dec_attn_concat_src)
+    p.add_argument("--no_dec_qkv_proj", dest="dec_qkv_proj",
+                   action="store_false", default=d.dec_qkv_proj)
     p.add_argument("--seq_len", type=int, default=d.seq_len)
     p.add_argument("--vocab_size", type=int, default=d.vocab_size)
     # loss

@@ -91,6 +91,14 @@ class CAPEConfig:
     enc_n_points: int = 4
     query_pos_type: str = "sine"
     with_poly_refine: bool = True
+    # Decoder layer variant (`train_cape_episodic.py:220-222` flags /
+    # `deformable_transformer_v2.py:76-115` dispatch). v1 is the CAPE
+    # flagship; v2-v6/v41 are the reference's experimental support-free
+    # layers — teacher-forced training only, exactly as in the reference
+    # (its decode path crashes for them; ours rejects loudly).
+    dec_layer_type: str = "v1"
+    dec_attn_concat_src: bool = False
+    dec_qkv_proj: bool = True
 
     # ---- sequence / vocab ----
     seq_len: int = 200

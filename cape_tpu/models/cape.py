@@ -122,6 +122,9 @@ class CAPE(nn.Module):
             seq_len=cfg.seq_len, num_classes=cfg.num_token_classes,
             pad_id=cfg.num_bins * cfg.num_bins + 3,
             use_pallas=cfg.use_pallas_msda,
+            layer_type=cfg.dec_layer_type,
+            attn_concat_src=cfg.dec_attn_concat_src,
+            qkv_proj=cfg.dec_qkv_proj,
             query_pos_type=cfg.query_pos_type,
             poly_refine=cfg.with_poly_refine, dtype=dtype,
         )

@@ -81,13 +81,22 @@ class DecoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     use_pallas: bool = False
+    # extra q/k/v pre-projections before self-attention; the reference
+    # builds Identity instead when disabled (`dtv2:276-282`)
+    qkv_proj: bool = True
+    # prepend the raw encoder memory to self-attention K/V
+    # (`--dec_attn_concat_src`, `dtv2:333-337`); teacher-forced path only
+    concat_src: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        no_bias = dict(use_bias=False, dtype=self.dtype)
-        self.attn_q = nn.Dense(self.d_model, **no_bias)
-        self.attn_k = nn.Dense(self.d_model, **no_bias)
-        self.attn_v = nn.Dense(self.d_model, **no_bias)
+        if self.qkv_proj:
+            no_bias = dict(use_bias=False, dtype=self.dtype)
+            self.attn_q = nn.Dense(self.d_model, **no_bias)
+            self.attn_k = nn.Dense(self.d_model, **no_bias)
+            self.attn_v = nn.Dense(self.d_model, **no_bias)
+        else:
+            self.attn_q = self.attn_k = self.attn_v = lambda x: x
         self.self_attn = MultiHeadAttention(self.d_model, self.n_heads,
                                             self.dropout, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -145,7 +154,17 @@ class DecoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         q = self.attn_q(tgt) + query_pos
-        k, v = self.self_attn.project_kv_pre(self.attn_k(tgt), self.attn_v(tgt))
+        k_in, v_in = self.attn_k(tgt), self.attn_v(tgt)
+        if self.concat_src:
+            # reference concatenates the RAW memory before the attention's
+            # own input projections (`dtv2:333-337`), prefix always
+            # attendable
+            k_in = jnp.concatenate([memory, k_in], axis=1)
+            v_in = jnp.concatenate([memory, v_in], axis=1)
+            causal_mask = jnp.concatenate(
+                [jnp.zeros((causal_mask.shape[0], memory.shape[1]),
+                           causal_mask.dtype), causal_mask], axis=1)
+        k, v = self.self_attn.project_kv_pre(k_in, v_in)
         t2 = self.self_attn.attend(q, k, v, attn_mask=causal_mask,
                                    deterministic=deterministic)
         tgt = self.norm2(tgt + self.drop(t2, deterministic=deterministic))
@@ -209,10 +228,13 @@ class Decoder(nn.Module):
     # only — exactly the capability the reference has (they crash on its
     # CAPE/decode path, see decoder_variants.py).
     layer_type: str = "v1"
-    # prepend src-derived tokens to self-attention K/V for v4/v41/v5/v6
-    # (`--dec_attn_concat_src`; the reference builder then disables the
-    # extra q/k/v pre-projections, `dtv2:80-115`)
-    attn_concat_src: bool = True
+    # prepend src-derived tokens (v4/v41/v5/v6) or the raw memory (v1) to
+    # self-attention K/V (`--dec_attn_concat_src`; the reference builder
+    # then disables the extra q/k/v pre-projections, `dtv2:80-115`)
+    attn_concat_src: bool = False
+    # extra q/k/v pre-projections (`--dec_qkv_proj`, default on); the
+    # effective value is `qkv_proj and not attn_concat_src` (`dtv2:80`)
+    qkv_proj: bool = True
     # 'sine' | 'none' (`deformable_transformer_v2.py:1078-1081`)
     query_pos_type: str = "sine"
     # iterative refinement per layer; off = only the last layer refines the
@@ -246,11 +268,14 @@ class Decoder(nn.Module):
                 f"layer_type={self.layer_type!r}: expected one of "
                 f"{LAYER_TYPES} (dtv2:76-115)"
             )
+        use_qkv = self.qkv_proj and not self.attn_concat_src  # dtv2:80
         if self.layer_type == "v1":
             self.layers = [
                 DecoderLayer(self.d_model, self.d_ffn, self.dropout,
                              self.n_levels, self.n_heads, self.n_points,
                              use_pallas=self.use_pallas,
+                             qkv_proj=use_qkv,
+                             concat_src=self.attn_concat_src,
                              dtype=self.dtype, name=f"layer_{i}")
                 for i in range(self.num_layers)
             ]
@@ -277,7 +302,7 @@ class Decoder(nn.Module):
                                dropout=self.dropout, n_levels=self.n_levels,
                                n_heads=self.n_heads, n_points=self.n_points,
                                attn_concat_src=self.attn_concat_src,
-                               use_qkv_proj=not self.attn_concat_src,
+                               use_qkv_proj=use_qkv,
                                use_pallas=self.use_pallas,
                                dtype=self.dtype, name=f"layer_{i}")
                 for i in range(self.num_layers)
@@ -396,6 +421,14 @@ class Decoder(nn.Module):
                 "reference (they crash on its CAPE/decode path — "
                 "dtv2:1085-1091 passes support kwargs their forwards do "
                 "not accept; v2/v3 also lack KV caches)"
+            )
+        if self.attn_concat_src:
+            raise ValueError(
+                f"{what} does not support attn_concat_src: prepending the "
+                "full encoder memory to every self-attention step would "
+                "grow each decode step's keys from L to S+L (the reference "
+                "pays this, dtv2:333-337); train/eval this experimental "
+                "flag teacher-forced only"
             )
 
     def precompute_static(self, memory, support_features):

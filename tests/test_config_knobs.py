@@ -99,6 +99,42 @@ def test_invalid_fusion_method_raises():
         _forward(cfg)
 
 
+@pytest.mark.parametrize("knobs", [
+    {"dec_layer_type": "v5"},
+    {"dec_layer_type": "v1", "dec_attn_concat_src": True},
+    {"dec_layer_type": "v1", "dec_qkv_proj": False},
+])
+def test_decoder_variant_knobs_teacher_forced(knobs):
+    """`--dec_layer_type/--dec_attn_concat_src/--no_dec_qkv_proj`
+    (train_cape_episodic.py:220-222) reach the decoder and train."""
+    cfg = tiny_test_config(**knobs)
+    out, params = _forward(cfg)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    names = {"/".join(str(k) for k in path)
+             for path, _ in jax.tree_util.tree_leaves_with_path(params)}
+    has_qkv = any("attn_q" in n and "layer_0" in n for n in names)
+    # builder formula: qkv pre-projections iff qkv_proj and not concat_src
+    expect = knobs.get("dec_qkv_proj", True) and \
+        not knobs.get("dec_attn_concat_src", False)
+    assert has_qkv == expect, sorted(n for n in names if "layer_0" in n)[:5]
+
+
+def test_decoder_variant_decode_rejects():
+    """The autoregressive CAPE decode is v1-without-concat only — same
+    capability boundary as the reference (dtv2:1085-1091 crashes there)."""
+    from cape_tpu.models.cape import autoregressive_decode
+
+    for knobs in ({"dec_layer_type": "v5"}, {"dec_attn_concat_src": True}):
+        cfg = tiny_test_config(**knobs)
+        model = CAPE(cfg)
+        imgs, sc, sm, se, targets = _batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), imgs, sc, sm, se, targets)
+        with pytest.raises(ValueError,
+                           match="layer_type='v1'|attn_concat_src"):
+            autoregressive_decode(model, params, imgs, sc, sm, se,
+                                  force_length=5)
+
+
 def test_dilated_backbone_shapes():
     from cape_tpu.models.backbone import ResNet50
 

@@ -258,6 +258,71 @@ class TestDecoderLayerParity:
         np.testing.assert_allclose(np.asarray(ours), ref_out,
                                    rtol=1e-4, atol=1e-5)
 
+    def test_forward_train_concat_src(self):
+        """`--dec_attn_concat_src` on v1: raw memory prepended to the
+        self-attention K/V, q/k/v pre-projections disabled — the builder
+        formula `use_qkv_proj=(dec_qkv_proj and not dec_attn_concat_src)`
+        (`dtv2:80`, concat at `dtv2:333-337`)."""
+        dtv2 = ref_modules.dtv2()
+        from cape_tpu.models.decoder import DecoderLayer
+
+        torch.manual_seed(13)
+        ref = dtv2.TransformerDecoderLayer(
+            d_model=self.D, d_ffn=self.FFN, dropout=0.0, activation="relu",
+            n_levels=self.LEVELS, n_heads=self.HEADS, n_points=self.POINTS,
+            use_qkv_proj=False,
+        ).eval()
+
+        rng = np.random.default_rng(10)
+        B, L, S = 2, self.L, sum(h * w for h, w in self.SHAPES)
+        tgt = rng.normal(size=(B, L, self.D)).astype(np.float32)
+        query_pos = rng.normal(size=(B, L, self.D)).astype(np.float32)
+        refpts = rng.uniform(0.1, 0.9, (B, L, self.LEVELS, 2)).astype(np.float32)
+        src = rng.normal(size=(B, S, self.D)).astype(np.float32)
+        support = rng.normal(size=(B, self.N, self.D)).astype(np.float32)
+        support_mask = np.zeros((B, self.N), bool)
+        causal = np.where(np.triu(np.ones((L, L), np.float32), 1) > 0,
+                          -1e9, 0.0).astype(np.float32)
+
+        shapes_t = torch.as_tensor(self.SHAPES, dtype=torch.long)
+        level_start = torch.cat(
+            [shapes_t.new_zeros(1), (shapes_t[:, 0] * shapes_t[:, 1]).cumsum(0)[:-1]]
+        )
+        with torch.no_grad():
+            ref_out, _ = ref(
+                torch.from_numpy(tgt), torch.from_numpy(query_pos),
+                torch.from_numpy(refpts), torch.from_numpy(src),
+                shapes_t, level_start, None,
+                tgt_masks=torch.from_numpy(causal),
+                attn_concat_src=True,
+                support_features=torch.from_numpy(support),
+                support_mask=torch.from_numpy(support_mask),
+            )
+        ref_out = t2n(ref_out)
+
+        params = {
+            "self_attn": mha(ref.self_attn),
+            "norm2": layer_norm(ref.norm2),
+            "support_attn": mha(ref.support_attn),
+            "norm_support": layer_norm(ref.norm_support),
+            "cross_attn": msda_params(ref.cross_attn),
+            "norm1": layer_norm(ref.norm1),
+            "linear1": dense(ref.linear1),
+            "linear2": dense(ref.linear2),
+            "norm3": layer_norm(ref.norm3),
+        }
+        layer = DecoderLayer(self.D, self.FFN, 0.0, self.LEVELS, self.HEADS,
+                             self.POINTS, qkv_proj=False, concat_src=True)
+        ours = layer.apply(
+            {"params": params}, jnp.asarray(tgt), jnp.asarray(query_pos),
+            jnp.asarray(refpts), jnp.asarray(src), self.SHAPES,
+            jnp.asarray(causal), jnp.asarray(support),
+            jnp.asarray(support_mask), True,
+            method=DecoderLayer.forward_train,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_out,
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestDeformablePointsParity:
     """Weight-transplant oracle for MSDeformablePoints vs the reference
