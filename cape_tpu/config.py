@@ -137,7 +137,11 @@ class CAPEConfig:
     steps_per_dispatch: int = 1
 
     # ---- pallas kernels ----
-    use_pallas_msda: bool = False             # flip when kernel validated on-device
+    # Legacy experimental per-row-gather MSDA kernel (ops/msda_pallas.py;
+    # not lowerable by current Mosaic). The PRODUCTION kernel switch is the
+    # CAPE_MSDA_GATHER env knob ('xla' | 'mxu' | 'auto') selecting the
+    # one-hot MXU gather (ops/gather_mxu.py) inside the XLA quad-row core.
+    use_pallas_msda: bool = False
 
     # ---- memory ----
     # jax.checkpoint the encoder layers. None = auto: off for small
