@@ -144,6 +144,7 @@ def _copy(tree):
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_on_fixed_batch(self, model_and_params):
         """Overfit smoke test — the reference's own acceptance criterion
         (`README.md:212-214`, single-image overfit)."""
@@ -163,6 +164,7 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow
     def test_frozen_affine_not_updated(self, model_and_params):
         from cape_tpu.train import create_train_state, make_train_step
         import flax

@@ -41,6 +41,7 @@ def _batch_dict(cfg, batch=2, n_kpts=4, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_scan_step_matches_sequential_steps():
     cfg = tiny_test_config(accumulation_steps=1, steps_per_dispatch=2)
     model = CAPE(cfg)

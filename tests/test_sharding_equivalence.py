@@ -9,6 +9,7 @@ params must agree. This is the invariant the reference's DDP would need
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cape_tpu.config import tiny_test_config
 from cape_tpu.models import CAPE
@@ -18,6 +19,7 @@ from cape_tpu.train import create_train_state, make_train_step
 from test_config_knobs import _batch
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     n = len(jax.devices())
     assert n >= 8, f"conftest should force 8 CPU devices, got {n}"
