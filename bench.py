@@ -25,6 +25,7 @@ true reference throughput is LOWER and vs_baseline understates the speedup.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -34,7 +35,37 @@ import numpy as np
 BASELINE_EPISODES_PER_SEC = 0.3204
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Initialize the JAX backend with a hard timeout.
+
+    Backend init blocks indefinitely when the axon TPU relay is down
+    (observed 2026-08-18: 9h outage); better to fail loudly than hang the
+    driver. The probe runs in a daemon thread so a stuck init can't keep
+    the process alive past the timeout."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        result["platform"] = jax.devices()[0].platform
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "platform" not in result:
+        print(
+            f"bench.py: JAX backend init did not complete in {timeout_s:.0f}s "
+            "(TPU relay unreachable?) — aborting without a measurement",
+            file=sys.stderr,
+        )
+        os._exit(1)
+    print(f"bench.py: device platform = {result['platform']}", file=sys.stderr)
+
+
 def main():
+    _require_device()
     import jax
 
     from cape_tpu.config import CAPEConfig
