@@ -130,6 +130,14 @@ class ResNet50(nn.Module):
 def load_torch_resnet50_npz(params: dict, npz_path: str) -> dict:
     """Fold a torchvision resnet50 state_dict (saved as .npz) into params.
 
+    See `load_torch_resnet50_state` for the key contract.
+    """
+    return load_torch_resnet50_state(params, dict(np.load(npz_path)))
+
+
+def load_torch_resnet50_state(params: dict, sd: dict) -> dict:
+    """Fold a torchvision resnet50 state_dict ({key: np.ndarray}) into params.
+
     Expects keys like 'conv1.weight', 'layer1.0.conv1.weight',
     'layer1.0.bn1.{weight,bias,running_mean,running_var}'. Conv kernels are
     transposed OIHW -> HWIO; BN folds to scale = w/sqrt(var+eps),
@@ -137,7 +145,6 @@ def load_torch_resnet50_npz(params: dict, npz_path: str) -> dict:
     """
     import copy
 
-    sd = dict(np.load(npz_path))
     out = copy.deepcopy(params)
     eps = 1e-5
 
