@@ -11,7 +11,10 @@ reference state dict onto the `CAPE` param tree —
     base_model.transformer.*          -> level_embed / encoder / decoder
     base_model.{class,coords}_embed.* -> decoder per-layer heads
     base_model.query_embed.weight     -> decoder anchor table
-    support_encoder.*                 -> geometric support encoder
+    support_encoder.*                 -> geometric support encoder, or the
+                                         legacy SupportPoseGraphEncoder when
+                                         the checkpoint was trained with
+                                         --use_geometric_encoder off
 
 and drops, by design, the reference's trained-but-unused tensors
 (`support_cross_attention_layers` / `support_attn_layer_norms` /
@@ -211,12 +214,32 @@ def import_reference_state_dict(
                 for j in range(3)
             }
 
-        # ---- geometric support encoder ----------------------------------
+        # ---- support encoder (geometric default / legacy graph) ----------
         s = p["support_encoder"]
-        s["coord_mlp_0"] = _dense(sd, "support_encoder.coord_mlp.0")
-        s["coord_mlp_1"] = _dense(sd, "support_encoder.coord_mlp.2")
-        for i in range(cfg.num_gcn_layers):
-            s[f"gcn_{i}"] = _gcn(sd, f"support_encoder.gcn_layers.{i}")
+        legacy = "support_encoder.coord_embedding.0.weight" in sd
+        if legacy != (not cfg.use_geometric_encoder):
+            want = "false" if legacy else "true"
+            raise CheckpointImportError(
+                "checkpoint carries a "
+                f"{'SupportPoseGraphEncoder' if legacy else 'GeometricSupportEncoder'}"
+                f" but config has use_geometric_encoder={cfg.use_geometric_encoder}"
+                f" — pass --set use_geometric_encoder={want}"
+            )
+        if legacy:
+            # SupportPoseGraphEncoder (`support_encoder.py:8-52`): coord MLP
+            # + edge-presence embedding + projection + final norm
+            s["coord_mlp_0"] = _dense(sd, "support_encoder.coord_embedding.0")
+            s["coord_mlp_1"] = _dense(sd, "support_encoder.coord_embedding.2")
+            s["edge_embedding"] = {
+                "embedding": sd["support_encoder.edge_embedding.weight"]}
+            s["coord_edge_proj"] = _dense(sd, "support_encoder.coord_edge_proj")
+            s["final_norm"] = _ln(sd, "support_encoder.norm")
+        else:
+            s["coord_mlp_0"] = _dense(sd, "support_encoder.coord_mlp.0")
+            s["coord_mlp_1"] = _dense(sd, "support_encoder.coord_mlp.2")
+            if cfg.use_gcn_preenc:
+                for i in range(cfg.num_gcn_layers):
+                    s[f"gcn_{i}"] = _gcn(sd, f"support_encoder.gcn_layers.{i}")
         for i in range(cfg.support_encoder_layers):
             sl = f"support_encoder.transformer_encoder.layers.{i}"
             s[f"layer_{i}"] = {

@@ -279,3 +279,43 @@ def test_cli_roundtrip(tmp_path, imported):
     np.testing.assert_array_equal(
         np.asarray(state.params["decoder"]["token_embed"]["embedding"]),
         imported["sd"]["base_model.transformer.decoder.token_embed.weight"])
+
+
+def test_legacy_support_encoder_import(imported):
+    """Checkpoints trained with --use_geometric_encoder off carry a
+    SupportPoseGraphEncoder (`support_encoder.py:8-52`); the importer maps
+    it onto cape_tpu's legacy module and rejects a mismatched config."""
+    ref_modules.install_reference()
+    from models import support_encoder as legacy_mod
+
+    torch.manual_seed(11)
+    cfg = _tiny_cfg().replace(use_geometric_encoder=False)
+    sup = legacy_mod.SupportPoseGraphEncoder(
+        hidden_dim=D, nheads=HEADS,
+        num_encoder_layers=cfg.support_encoder_layers,
+        dim_feedforward=FFN, dropout=0.0)
+
+    sd = {k: v for k, v in imported["sd"].items()
+          if not k.startswith("support_encoder.")}
+    for k, v in sup.state_dict().items():
+        sd[f"support_encoder.{k}"] = t2n(v)
+
+    variables = _init_variables(cfg)
+    out = import_reference_state_dict(sd, variables, cfg)
+    s = out["params"]["support_encoder"]
+    np.testing.assert_array_equal(
+        s["coord_mlp_0"]["kernel"], t2n(sup.coord_embedding[0].weight).T)
+    np.testing.assert_array_equal(
+        s["edge_embedding"]["embedding"], t2n(sup.edge_embedding.weight))
+    np.testing.assert_array_equal(
+        s["coord_edge_proj"]["bias"], t2n(sup.coord_edge_proj.bias))
+    np.testing.assert_array_equal(
+        s["final_norm"]["scale"], t2n(sup.norm.weight))
+    np.testing.assert_array_equal(
+        s["layer_0"]["MultiHeadAttention_0"]["q_proj"]["kernel"],
+        t2n(sup.transformer_encoder.layers[0].self_attn.in_proj_weight)[:D].T)
+
+    # encoder-kind / config mismatch is caught before any key lookup fails
+    with pytest.raises(CheckpointImportError, match="use_geometric_encoder"):
+        import_reference_state_dict(sd, imported["variables"],
+                                    imported["cfg"])
