@@ -163,8 +163,9 @@ def _quad_gather_mxu(quad: jnp.ndarray, gi: jnp.ndarray) -> jnp.ndarray:
 def quad_gather(quad: jnp.ndarray, gi: jnp.ndarray, impl: str = "xla"):
     """Gather rows `gi` (B, N) int32 from `quad` (B, n, C) -> (B, N, C).
 
-    impl='xla': `jnp.take_along_axis` (the round-3 measured default).
-    impl='mxu': the one-hot MXU Pallas kernel (this module).
+    impl='xla': `jnp.take_along_axis` (the off-TPU default).
+    impl='mxu': the one-hot MXU Pallas kernel (this module; the measured
+        TPU default — see `default_gather_impl`).
     """
     if impl == "mxu":
         return _quad_gather_mxu(quad, gi)
@@ -193,13 +194,18 @@ def mxu_gather_supported() -> bool:
 def default_gather_impl() -> str:
     """Resolve the process-wide default ('CAPE_MSDA_GATHER' env knob).
 
-    'xla' | 'mxu' force a backend; 'auto' probes the MXU kernel and falls
-    back to XLA. The default is 'xla' until the MXU kernel is validated
-    faster on the target device (see PERF.md round 3).
+    'xla' | 'mxu' force a backend; 'auto' (the default) uses the MXU
+    kernel on a real TPU backend when the compile probe passes, else
+    XLA `take_along_axis`. Measured on v5e (PERF.md round 3,
+    `scripts/bench_msda_variants.py`): MXU one-hot gather cuts the
+    flagship MSDA fwd+bwd 53.3 -> 35.9 ms, so TPU defaults to it.
+    Off-TPU the kernel only exists in interpret mode (test parity, far
+    slower than XLA), so 'auto' never selects it there.
     """
-    choice = os.environ.get("CAPE_MSDA_GATHER", "xla").lower()
+    choice = os.environ.get("CAPE_MSDA_GATHER", "auto").lower()
     if choice == "auto":
-        return "mxu" if mxu_gather_supported() else "xla"
+        on_tpu = jax.default_backend() == "tpu"
+        return "mxu" if on_tpu and mxu_gather_supported() else "xla"
     if choice in ("xla", "mxu"):
         return choice
     raise ValueError(

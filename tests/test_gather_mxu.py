@@ -102,3 +102,10 @@ def test_default_impl_env(monkeypatch):
     monkeypatch.setenv("CAPE_MSDA_GATHER", "bogus")
     with pytest.raises(ValueError):
         default_gather_impl()
+    # 'auto' (and the unset default) never picks the interpret-mode kernel
+    # off-TPU — that would run the whole MSDA path interpreted in CPU tests.
+    monkeypatch.setenv("CAPE_MSDA_GATHER", "auto")
+    expected = "mxu" if jax.default_backend() == "tpu" else "xla"
+    assert default_gather_impl() == expected
+    monkeypatch.delenv("CAPE_MSDA_GATHER")
+    assert default_gather_impl() == expected
