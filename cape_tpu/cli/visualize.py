@@ -61,6 +61,7 @@ def main(argv=None):
     from ..config import CAPEConfig
     from ..data.builder import build_mp100_cape, resolve_split_file
     from ..data.episodic import EpisodicSampler, episode_batches
+    from ..data.mp100 import image_to_uint8
     from ..eval.evaluate import extract_gt_keypoints, extract_pred_keypoints
     from ..models import CAPE
     from ..train.state import create_train_state
@@ -116,8 +117,7 @@ def main(argv=None):
                                        active, expected)
         gts = extract_gt_keypoints(batch["targets"], expected)
 
-        img = np.asarray(batch["query_images"][0])
-        img_u8 = np.clip(img * 255, 0, 255).astype(np.uint8)[..., ::-1]  # BGR
+        img_u8 = image_to_uint8(batch["query_images"][0])[..., ::-1]  # BGR
         n = int(expected[0])
         skeleton = [
             e.tolist() for e in np.asarray(batch["skeleton_edges"][0])

@@ -73,6 +73,12 @@ class CAPEConfig:
     input_channels: int = 3
     image_size: int = 512                     # post-resize square size (aug pipeline, mp100_cape.py:940)
     image_norm: bool = False                  # ImageNet mean/std normalization
+    # Ship images host->device as uint8 and normalize on device (4x fewer
+    # H2D bytes than the reference's host-side float conversion,
+    # mp100_cape.py:437-444). The model accepts either dtype; float input
+    # is assumed host-normalized. Measured: the float32 batch transfer was
+    # the sustained-training bottleneck (PERF.md round 3, 2026-08-18).
+    uint8_transfer: bool = True
 
     # ---- backbone ----
     backbone: str = "resnet50"
@@ -139,8 +145,9 @@ class CAPEConfig:
     # ---- pallas kernels ----
     # Legacy experimental per-row-gather MSDA kernel (ops/msda_pallas.py;
     # not lowerable by current Mosaic). The PRODUCTION kernel switch is the
-    # CAPE_MSDA_GATHER env knob ('xla' | 'mxu' | 'auto') selecting the
-    # one-hot MXU gather (ops/gather_mxu.py) inside the XLA quad-row core.
+    # CAPE_MSDA_GATHER env knob ('auto' default: one-hot MXU Pallas gather
+    # on TPU — measured 1.5x the XLA take_along_axis core on v5e — XLA
+    # elsewhere; see ops/gather_mxu.py).
     use_pallas_msda: bool = False
 
     # ---- memory ----

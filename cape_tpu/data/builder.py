@@ -44,6 +44,7 @@ def build_mp100_cape(image_set: str, cfg: CAPEConfig) -> MP100Dataset:
         image_norm=cfg.image_norm,
         augment=False if cfg.disable_augment else None,
         cache_mb=cfg.data_cache_mb,
+        uint8_images=cfg.uint8_transfer,
     )
 
 

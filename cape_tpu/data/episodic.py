@@ -138,7 +138,8 @@ def collate_episodes(
     """Assemble loaded episodes into one fixed-shape numpy batch.
 
     Returns dict with leading dim B = num_episodes * queries_per_episode:
-        query_images    (B, S, S, 3) float32
+        query_images    (B, S, S, 3) uint8 (uint8_images datasets; device
+                        normalizes) or float32 (host-normalized)
         support_coords  (B, MAXK, 2) float32, [0,1], K-shot mean-pooled
         support_mask    (B, MAXK) bool, True = invalid/ignore
         skeleton_edges  (B, MAXE, 2) int32, -1 padded

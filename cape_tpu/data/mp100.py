@@ -31,6 +31,15 @@ from .tokenizer import DiscreteTokenizer, tokenize_keypoints
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
+
+def image_to_uint8(img: "np.ndarray") -> "np.ndarray":
+    """Record image -> displayable uint8 RGB: uint8 passthrough
+    (`uint8_images` records), float assumed [0,1]."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
 try:
     import cv2 as _cv2
 except Exception:  # pragma: no cover
@@ -112,6 +121,9 @@ class MP100Dataset:
         image_size: output square size (reference resizes to 512).
         split: 'train' enables augmentation; others resize only.
         image_norm: apply ImageNet mean/std after /255.
+        uint8_images: keep records as uint8 — /255 (+ image_norm) happens
+            on device inside the model (`CAPE.encode_image`), quartering
+            the host->device transfer and the record-cache footprint.
     """
 
     def __init__(
@@ -124,6 +136,7 @@ class MP100Dataset:
         image_norm: bool = False,
         augment: Optional[bool] = None,
         cache_mb: int = 1024,
+        uint8_images: bool = False,
     ):
         self.root = img_folder
         self.coco = COCOIndex(ann_file)
@@ -132,6 +145,7 @@ class MP100Dataset:
         self.image_size = image_size
         self.split = split
         self.image_norm = image_norm
+        self.uint8_images = uint8_images
         self.augment = augment if augment is not None else (split == "train")
         # host-pipeline caches (round-3 VERDICT item 2 — episodic sampling
         # revisits the same images constantly):
@@ -171,9 +185,12 @@ class MP100Dataset:
         else:
             crop, keypoints = resize_with_keypoints(crop, keypoints, self.image_size)
 
-        image = crop.astype(np.float32) / 255.0
-        if self.image_norm:
-            image = (image - IMAGENET_MEAN) / IMAGENET_STD
+        if self.uint8_images:
+            image = crop  # device normalizes (CAPE.encode_image)
+        else:
+            image = crop.astype(np.float32) / 255.0
+            if self.image_norm:
+                image = (image - IMAGENET_MEAN) / IMAGENET_STD
 
         category_id = ann.get("category_id", 0)
         seq_data = tokenize_keypoints(

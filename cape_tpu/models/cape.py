@@ -169,8 +169,21 @@ class CAPE(nn.Module):
 
     def encode_image(self, images: jnp.ndarray,
                      deterministic: bool = True) -> jnp.ndarray:
-        """(B, S, S, 3) float32 -> (B, sum(Hl*Wl), D) encoder memory."""
+        """(B, S, S, 3) uint8 or float32 -> (B, sum(Hl*Wl), D) memory.
+
+        uint8 input is normalized ON DEVICE (float32 /255 + optional
+        ImageNet mean/std — same op order as the host path in
+        `data/mp100.py`, so the two are bit-identical); this lets the
+        loader ship 4x fewer H2D bytes (`cfg.uint8_transfer`). float
+        input is assumed host-normalized (reference behavior,
+        `mp100_cape.py:437-444`).
+        """
         cfg = self.cfg
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+            if cfg.image_norm:
+                from ..data.mp100 import IMAGENET_MEAN, IMAGENET_STD
+                images = (images - IMAGENET_MEAN) / IMAGENET_STD
         feats = self.backbone(images.astype(self.dtype))
         srcs = [self.input_projs[i](feats[i]) for i in range(3)]
         if cfg.num_feature_levels > 3:

@@ -69,7 +69,7 @@ class CAPEPredictor:
 
         model = CAPE(cfg)
         S = cfg.image_size
-        probe_img = np.zeros((1, S, S, 3), np.float32)
+        probe_img = np.zeros((1, S, S, 3), np.uint8)
         probe_sc = np.zeros((1, cfg.max_support_keypoints, 2), np.float32)
         probe_sm = np.zeros((1, cfg.max_support_keypoints), bool)
         probe_se = np.full((1, cfg.max_skeleton_edges, 2), -1, np.int32)
@@ -101,10 +101,11 @@ class CAPEPredictor:
             bx, by, bw, bh = 0, 0, W, H
         S = self.cfg.image_size
         resized, _ = resize_with_keypoints(img, np.zeros((0, 2)), S)
-        x = resized.astype(np.float32) / 255.0
+        # ship uint8; the model normalizes on device (incl. cfg.image_norm,
+        # which the old host-side /255 silently skipped)
         # inverse map: model [0,1] coords -> original pixels
         return {
-            "input": x,
+            "input": resized,
             "origin": (float(bx), float(by)),
             "scale": (bw / float(S), bh / float(S)),
         }

@@ -82,7 +82,8 @@ def main():
     # ---- 1. train-path record cost ------------------------------------
     ds = MP100Dataset(paths["img_dir"], paths["train_ann"], tok,
                       image_size=cfg.image_size, split="train",
-                      cache_mb=cfg.data_cache_mb)
+                      cache_mb=cfg.data_cache_mb,
+                      uint8_images=cfg.uint8_transfer)
     rng = np.random.default_rng(0)
     n = len(ds)
 
@@ -118,7 +119,8 @@ def main():
     # ---- 2. val-path record cost --------------------------------------
     vds = MP100Dataset(paths["img_dir"], paths["val_ann"], tok,
                        image_size=cfg.image_size, split="val",
-                       cache_mb=cfg.data_cache_mb)
+                       cache_mb=cfg.data_cache_mb,
+                       uint8_images=cfg.uint8_transfer)
     vn = len(vds)
 
     def cold_val():

@@ -35,6 +35,7 @@ def main():
 
     from cape_tpu.config import CAPEConfig
     from cape_tpu.data.builder import build_mp100_cape
+    from cape_tpu.data.mp100 import image_to_uint8
     from cape_tpu.cli.visualize import _draw_pose
 
     cfg = CAPEConfig(dataset_root=args.dataset_root,
@@ -62,7 +63,7 @@ def main():
 
         # preprocessed record
         rec = ds.get_record(i, rng)
-        proc = np.clip(rec["image"] * 255, 0, 255).astype(np.uint8)[..., ::-1]
+        proc = image_to_uint8(rec["image"])[..., ::-1]
         proc_panel = _draw_pose(np.ascontiguousarray(proc), rec["keypoints"],
                                 skel0, rec["visibility"], (0, 255, 0))
 

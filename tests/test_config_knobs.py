@@ -145,3 +145,42 @@ def test_dilated_backbone_shapes():
     assert feats[0].shape[1:3] == (8, 8)
     assert feats[1].shape[1:3] == (4, 4)
     assert feats[2].shape[1:3] == (4, 4)
+
+
+class TestUint8Transfer:
+    """cfg.uint8_transfer: uint8 batches must match the host-float path
+    bit-for-bit (the device normalization replicates `data/mp100.py`'s op
+    order exactly — float32 /255 [+ ImageNet norm] before the dtype cast)."""
+
+    @pytest.mark.parametrize("image_norm", [False, True])
+    def test_uint8_forward_equals_float(self, image_norm):
+        cfg = tiny_test_config(image_norm=image_norm)
+        model = CAPE(cfg)
+        imgs_f, sc, sm, se, targets = _batch(cfg)
+        rng = np.random.default_rng(3)
+        imgs_u8 = rng.integers(0, 256, imgs_f.shape, dtype=np.uint8)
+        host = imgs_u8.astype(np.float32) / 255.0
+        if image_norm:
+            from cape_tpu.data.mp100 import IMAGENET_MEAN, IMAGENET_STD
+            host = (host - IMAGENET_MEAN) / IMAGENET_STD
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs_u8),
+                            sc, sm, se, targets)
+        out_u8 = model.apply(params, jnp.asarray(imgs_u8), sc, sm, se, targets)
+        out_f = model.apply(params, jnp.asarray(host), sc, sm, se, targets)
+        for k in ("pred_logits", "pred_coords"):
+            np.testing.assert_array_equal(np.asarray(out_u8[k]),
+                                          np.asarray(out_f[k]))
+
+    def test_builder_honors_uint8_transfer(self, tmp_path):
+        from cape_tpu.data.builder import build_mp100_cape
+        from cape_tpu.data.synthetic import make_synthetic_mp100
+        paths = make_synthetic_mp100(str(tmp_path), num_categories=2,
+                                     images_per_category=2,
+                                     keypoint_range=(4, 4),
+                                     image_size=(48, 48))
+        for flag, want in ((True, np.uint8), (False, np.float32)):
+            cfg = tiny_test_config(dataset_root=str(tmp_path),
+                                   uint8_transfer=flag)
+            ds = build_mp100_cape("train", cfg)
+            rec = ds.get_record(0, np.random.default_rng(0))
+            assert rec["image"].dtype == want, (flag, rec["image"].dtype)
