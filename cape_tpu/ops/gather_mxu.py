@@ -194,20 +194,28 @@ def mxu_gather_supported() -> bool:
 def default_gather_impl() -> str:
     """Resolve the process-wide default ('CAPE_MSDA_GATHER' env knob).
 
-    'xla' | 'mxu' force a backend; 'auto' (the default) uses the MXU
-    kernel on a real TPU backend when the compile probe passes, else
-    XLA `take_along_axis`. Measured on v5e (PERF.md round 3,
-    `scripts/bench_msda_variants.py`): MXU one-hot gather cuts the
-    flagship MSDA fwd+bwd 53.3 -> 35.9 ms, so TPU defaults to it.
-    Off-TPU the kernel only exists in interpret mode (test parity, far
-    slower than XLA), so 'auto' never selects it there.
+    'xla' | 'mxu' | 'fused' | 'fusedq' force a backend; 'auto' (the
+    default) picks by the measured v5e ladder (PERF.md round 3,
+    `scripts/bench_msda_variants.py`, flagship encoder shape,
+    fwd / fwd+bwd ms): XLA quad gather 33.4/53.3 -> MXU one-hot kernel
+    24.4/36.6 -> quad-fused kernel (gather+blend+corner-sum in one
+    kernel) 22.4/32.9. On a real TPU backend 'auto' tries 'fusedq'
+    first (compile probe), then 'mxu', else XLA `take_along_axis`.
+    Off-TPU the kernels only exist in interpret mode (test parity, far
+    slower than XLA), so 'auto' never selects them there.
     """
     choice = os.environ.get("CAPE_MSDA_GATHER", "auto").lower()
     if choice == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        return "mxu" if on_tpu and mxu_gather_supported() else "xla"
-    if choice in ("xla", "mxu"):
+        if jax.default_backend() != "tpu":
+            return "xla"
+        from .msda_fused import quadfused_supported
+
+        if quadfused_supported():
+            return "fusedq"
+        return "mxu" if mxu_gather_supported() else "xla"
+    if choice in ("xla", "mxu", "fused", "fusedq"):
         return choice
     raise ValueError(
-        f"CAPE_MSDA_GATHER={choice!r}: expected 'xla', 'mxu' or 'auto'"
+        f"CAPE_MSDA_GATHER={choice!r}: expected 'xla', 'mxu', 'fused', "
+        "'fusedq' or 'auto'"
     )

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .gather_mxu import default_gather_impl, quad_gather
+from .msda_fused import fused_level_sample, quadfused_level_sample
 
 
 def _level_offsets(spatial_shapes) -> Tuple[int, ...]:
@@ -118,7 +119,8 @@ def ms_deform_attn_core(
             constants — XLA requires static shapes, SURVEY.md §7.1).
         sampling_locations: (B, Lq, H, L, P, 2) normalized (x, y) in [0,1].
         attention_weights: (B, Lq, H, L, P) softmax weights over L*P.
-        gather_impl: 'xla' | 'mxu' row-gather backend (None = the
+        gather_impl: 'xla' | 'mxu' row-gather backend, or 'fused' for the
+            single-kernel weighted-one-hot formulation (None = the
             CAPE_MSDA_GATHER process default; see ops/gather_mxu.py).
 
     Returns:
@@ -126,6 +128,12 @@ def ms_deform_attn_core(
     """
     if gather_impl is None:
         gather_impl = default_gather_impl()
+    if gather_impl == "fused":
+        return ms_deform_attn_core_fused(
+            value, spatial_shapes, sampling_locations, attention_weights)
+    if gather_impl == "fusedq":
+        return ms_deform_attn_core_quadfused(
+            value, spatial_shapes, sampling_locations, attention_weights)
     B, S, H, Dh = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes), "levels mismatch"
@@ -152,6 +160,75 @@ def ms_deform_attn_core(
         out = out + jnp.concatenate(heads, axis=-1)
 
     return out
+
+
+def ms_deform_attn_core_fused(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-kernel formulation: weighted one-hot gather+blend in VMEM.
+
+    Same function as `ms_deform_attn_core`, but each (level, head) is ONE
+    Pallas kernel application over the RAW level slab (`ops/msda_fused.py`)
+    — no quad-row packing, no 512-wide gathered/blended HBM temps, no
+    summing einsum. Selected via gather_impl='fused'.
+    """
+    B, S, H, Dh = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes), "levels mismatch"
+
+    offs = _level_offsets(spatial_shapes)
+    # heads fold into the kernel batch once, up front
+    vt = jnp.swapaxes(value, 1, 2).reshape(B * H, S, Dh)
+    acc = jnp.zeros((B * H, Lq * P, Dh), dtype=value.dtype)
+    for lvl, base, w4 in _quad_bases_and_weights(
+            spatial_shapes, sampling_locations, attention_weights,
+            value.dtype):
+        Hl, Wl = spatial_shapes[lvl]
+        slab = jax.lax.dynamic_slice_in_dim(vt, offs[lvl], Hl * Wl, 1)
+        # strip the quad-row front-pad offset: raw top-left corner index
+        gi = jnp.swapaxes(base - (Wl + 1), 1, 2).reshape(B * H, Lq * P)
+        w = jnp.swapaxes(w4, 1, 2).reshape(B * H, Lq * P, 4)
+        acc = acc + fused_level_sample(slab, gi, w, Wl)
+    out = acc.reshape(B, H, Lq, P, Dh).sum(axis=3)
+    return jnp.swapaxes(out, 1, 2).reshape(B, Lq, H * Dh)
+
+
+def ms_deform_attn_core_quadfused(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Quad-row formulation with gather+blend+corner-sum in ONE kernel.
+
+    Same function as `ms_deform_attn_core`; the quad packing stays in XLA
+    (Mosaic cannot lower the shifted window reads) but everything after it
+    — one-hot gather, lane-repeated weight blend, corner-sum matmul — runs
+    inside `ops/msda_fused.quadfused_level_sample`, so the 512-wide
+    gathered/blended temps never touch HBM. Selected via
+    gather_impl='fusedq'.
+    """
+    B, S, H, Dh = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes), "levels mismatch"
+
+    offs = _level_offsets(spatial_shapes)
+    vt = jnp.swapaxes(value, 1, 2).reshape(B * H, S, Dh)
+    acc = jnp.zeros((B * H, Lq * P, Dh), dtype=value.dtype)
+    for lvl, base, w4 in _quad_bases_and_weights(
+            spatial_shapes, sampling_locations, attention_weights,
+            value.dtype):
+        Hl, Wl = spatial_shapes[lvl]
+        lv = jax.lax.dynamic_slice_in_dim(vt, offs[lvl], Hl * Wl, 1)
+        quad = _quad_rows(lv, Wl)  # (B*H, n, 4*Dh)
+        gi = jnp.swapaxes(base, 1, 2).reshape(B * H, Lq * P)
+        w = jnp.swapaxes(w4, 1, 2).reshape(B * H, Lq * P, 4)
+        acc = acc + quadfused_level_sample(quad, gi, w)
+    out = acc.reshape(B, H, Lq, P, Dh).sum(axis=3)
+    return jnp.swapaxes(out, 1, 2).reshape(B, Lq, H * Dh)
 
 
 def ms_deform_attn_core_naive(

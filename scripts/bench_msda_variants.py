@@ -280,8 +280,25 @@ def make_variants():
         return ms_deform_attn_core(value, shapes, loc, attn,
                                    gather_impl="mxu")
 
+    def v10_fused(value, shapes, loc, attn):
+        """Single-kernel weighted-one-hot formulation (ops/msda_fused.py):
+        bilinear+attention weights folded into the one-hot matrix, one MXU
+        matmul per (level, head) against the raw level slab — no quad
+        packing, no wide HBM temps, 4x fewer MXU MACs than v9."""
+        return ms_deform_attn_core(value, shapes, loc, attn,
+                                   gather_impl="fused")
+
+    def v11_quadfused(value, shapes, loc, attn):
+        """Quad slab (XLA packing) + single kernel for gather/blend/
+        corner-sum (ops/msda_fused.py quadfused): one compare per row like
+        v9 but the 512-wide temps never touch HBM."""
+        return ms_deform_attn_core(value, shapes, loc, attn,
+                                   gather_impl="fusedq")
+
     return {
         "v0_baseline": v0_baseline,
+        "v10_fused": v10_fused,
+        "v11_quadfused": v11_quadfused,
         "probe_pure_gather": probe_pure_gather,
         "v8_quad_matmul": v8_quad_matmul,
         "v9_quad_mxu": v9_quad_mxu,

@@ -99,13 +99,17 @@ def test_default_impl_env(monkeypatch):
     assert default_gather_impl() == "xla"
     monkeypatch.setenv("CAPE_MSDA_GATHER", "mxu")
     assert default_gather_impl() == "mxu"
+    monkeypatch.setenv("CAPE_MSDA_GATHER", "fused")
+    assert default_gather_impl() == "fused"
+    monkeypatch.setenv("CAPE_MSDA_GATHER", "fusedq")
+    assert default_gather_impl() == "fusedq"
     monkeypatch.setenv("CAPE_MSDA_GATHER", "bogus")
     with pytest.raises(ValueError):
         default_gather_impl()
-    # 'auto' (and the unset default) never picks the interpret-mode kernel
+    # 'auto' (and the unset default) never picks the interpret-mode kernels
     # off-TPU — that would run the whole MSDA path interpreted in CPU tests.
     monkeypatch.setenv("CAPE_MSDA_GATHER", "auto")
-    expected = "mxu" if jax.default_backend() == "tpu" else "xla"
+    expected = "fusedq" if jax.default_backend() == "tpu" else "xla"
     assert default_gather_impl() == expected
     monkeypatch.delenv("CAPE_MSDA_GATHER")
     assert default_gather_impl() == expected

@@ -99,6 +99,56 @@ def test_quad_formulation_matches_naive(lo, hi):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["fused", "fusedq"])
+@pytest.mark.parametrize("lo,hi", [(-0.2, 1.2), (-1.5, 2.5), (0.1, 0.9)])
+def test_fused_formulation_matches_naive(impl, lo, hi):
+    """The single-kernel formulations (gather_impl='fused'/'fusedq',
+    interpret mode off-TPU) must equal the direct 4-corner gather oracle —
+    values AND gradients — including far-out-of-bounds locations."""
+    import jax
+    import jax.numpy as jnp
+
+    from cape_tpu.ops.msda import ms_deform_attn_core_naive
+
+    rng = np.random.default_rng(7)
+    B, H, Dh, Lq, P = 2, 4, 8, 12, 4
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, H, Dh)).astype(np.float32)
+    loc = rng.uniform(lo, hi, size=(B, Lq, H, L, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Lq, H, L, P)).astype(np.float32)
+    w /= w.reshape(B, Lq, H, -1).sum(-1)[..., None, None]
+
+    fused = lambda v, s, l, a: ms_deform_attn_core(v, s, l, a,  # noqa: E731
+                                                   gather_impl=impl)
+    got = np.asarray(fused(value, shapes, loc, w))
+    ref = np.asarray(ms_deform_attn_core_naive(value, shapes, loc, w))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def total(core, v, l, a):
+        return jnp.sum(core(v, shapes, l, a) ** 2)
+
+    g_got = jax.grad(total, argnums=(1, 2, 3))(fused, value, loc, w)
+    g_ref = jax.grad(total, argnums=(1, 2, 3))(
+        ms_deform_attn_core_naive, value, loc, w)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_out_of_bounds_is_zero():
+    B, H, Dh, Lq, P = 1, 2, 4, 3, 2
+    shapes = [(4, 4)]
+    S = 16
+    value = np.ones((B, S, H, Dh), dtype=np.float32)
+    loc = np.full((B, Lq, H, 1, P, 2), 5.0, dtype=np.float32)  # far outside
+    w = np.ones((B, Lq, H, 1, P), dtype=np.float32) / P
+    out = np.asarray(
+        ms_deform_attn_core(value, shapes, loc, w, gather_impl="fused"))
+    np.testing.assert_allclose(out, 0.0)
+
+
 def test_msda_is_differentiable():
     import jax
     import jax.numpy as jnp
