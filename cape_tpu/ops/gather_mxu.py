@@ -194,13 +194,15 @@ def mxu_gather_supported() -> bool:
 def default_gather_impl() -> str:
     """Resolve the process-wide default ('CAPE_MSDA_GATHER' env knob).
 
-    'xla' | 'mxu' | 'fused' | 'fusedq' force a backend; 'auto' (the
-    default) picks by the measured v5e ladder (PERF.md round 3,
-    `scripts/bench_msda_variants.py`, flagship encoder shape,
-    fwd / fwd+bwd ms): XLA quad gather 33.4/53.3 -> MXU one-hot kernel
-    24.4/36.6 -> quad-fused kernel (gather+blend+corner-sum in one
-    kernel) 22.4/32.9. On a real TPU backend 'auto' tries 'fusedq'
-    first (compile probe), then 'mxu', else XLA `take_along_axis`.
+    'xla' | 'mxu' | 'fused' | 'fusedq' | 'naive' force a backend; 'auto'
+    (the default) resolves to the MXU one-hot kernel on a real TPU
+    backend when the compile probe passes, else XLA `take_along_axis`.
+    The choice is pinned by FULL-TRAIN-STEP measurement on v5e (PERF.md
+    round 3): the quad-fused kernel wins the isolated op (fwd+bwd
+    36.6 -> 32.9 ms at the flagship encoder shape) but regresses the
+    B=4 train step 292 -> 424 ms in context, so 'auto' stays on 'mxu'.
+    Call sites with few gather rows (the inference decode step) are
+    dispatched shape-aware in `ops/msda._resolve_impl_for_shape`.
     Off-TPU the kernels only exist in interpret mode (test parity, far
     slower than XLA), so 'auto' never selects them there.
     """
@@ -208,14 +210,10 @@ def default_gather_impl() -> str:
     if choice == "auto":
         if jax.default_backend() != "tpu":
             return "xla"
-        from .msda_fused import quadfused_supported
-
-        if quadfused_supported():
-            return "fusedq"
         return "mxu" if mxu_gather_supported() else "xla"
-    if choice in ("xla", "mxu", "fused", "fusedq"):
+    if choice in ("xla", "mxu", "fused", "fusedq", "naive", "flat"):
         return choice
     raise ValueError(
         f"CAPE_MSDA_GATHER={choice!r}: expected 'xla', 'mxu', 'fused', "
-        "'fusedq' or 'auto'"
+        "'fusedq', 'naive', 'flat' or 'auto'"
     )

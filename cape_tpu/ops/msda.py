@@ -31,6 +31,7 @@ as the numerical oracle for property tests.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -38,6 +39,34 @@ import jax.numpy as jnp
 
 from .gather_mxu import default_gather_impl, quad_gather
 from .msda_fused import fused_level_sample, quadfused_level_sample
+
+
+#: at/below this many gather rows (Lq * P, static under jit) a call site
+#: counts as "tiny" — the inference decode step's Lq=1. Measured on v5e
+#: (scripts/probe_decode_impl.py, B=1 17-kpt episode, forced 18-token
+#: decode): mxu kernel 109 ms < quad-XLA 131 < flat single-gather 240 <
+#: naive per-corner 281. The kernels win even here — the decode loop is
+#: bound by XLA per-op launch overhead and pathological tiny-gather
+#: lowering, not by the kernels' padded 256-row tiles — so 'auto' keeps
+#: the process default at every shape and CAPE_MSDA_TINY exists only as
+#: a per-call-site override for tiny-shape experiments.
+_NAIVE_MAX_ROWS = 256
+
+
+def _resolve_impl_for_shape(n_rows: int) -> str:
+    """Shape-aware resolution of the 'auto' backend (n_rows = Lq * P).
+
+    An explicitly forced CAPE_MSDA_GATHER wins at every shape; only
+    'auto' consults CAPE_MSDA_TINY for tiny call sites (n_rows is
+    static under jit).
+    """
+    if os.environ.get("CAPE_MSDA_GATHER", "auto").lower() != "auto":
+        return default_gather_impl()
+    if n_rows <= _NAIVE_MAX_ROWS:
+        tiny = os.environ.get("CAPE_MSDA_TINY", "").lower()
+        if tiny:
+            return tiny
+    return default_gather_impl()
 
 
 def _level_offsets(spatial_shapes) -> Tuple[int, ...]:
@@ -119,15 +148,25 @@ def ms_deform_attn_core(
             constants — XLA requires static shapes, SURVEY.md §7.1).
         sampling_locations: (B, Lq, H, L, P, 2) normalized (x, y) in [0,1].
         attention_weights: (B, Lq, H, L, P) softmax weights over L*P.
-        gather_impl: 'xla' | 'mxu' row-gather backend, or 'fused' for the
-            single-kernel weighted-one-hot formulation (None = the
-            CAPE_MSDA_GATHER process default; see ops/gather_mxu.py).
+        gather_impl: 'xla' | 'mxu' row-gather backend, 'fused'/'fusedq'
+            for the single-kernel formulations, 'naive' for the direct
+            4-corner gather, or 'flat' for the single-gather form.
+            None = the CAPE_MSDA_GATHER process default, with the
+            CAPE_MSDA_TINY override consulted at/below `_NAIVE_MAX_ROWS`
+            gather rows (the inference decode step).
 
     Returns:
         (B, Lq, H * Dh) attended features.
     """
     if gather_impl is None:
-        gather_impl = default_gather_impl()
+        gather_impl = _resolve_impl_for_shape(
+            sampling_locations.shape[1] * sampling_locations.shape[4])
+    if gather_impl == "naive":
+        return ms_deform_attn_core_naive(
+            value, spatial_shapes, sampling_locations, attention_weights)
+    if gather_impl == "flat":
+        return ms_deform_attn_core_flat(
+            value, spatial_shapes, sampling_locations, attention_weights)
     if gather_impl == "fused":
         return ms_deform_attn_core_fused(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -229,6 +268,70 @@ def ms_deform_attn_core_quadfused(
         acc = acc + quadfused_level_sample(quad, gi, w)
     out = acc.reshape(B, H, Lq, P, Dh).sum(axis=3)
     return jnp.swapaxes(out, 1, 2).reshape(B, Lq, H * Dh)
+
+
+def ms_deform_attn_core_flat(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-gather formulation for tiny query counts (the decode step).
+
+    Same function as `ms_deform_attn_core_naive`, but every (level,
+    corner) index is made global into the flattened S dimension and ALL
+    L*4*P samples per query ride ONE `take_along_axis` + one weighted
+    reduce against `value` in its native (B, S, H, Dh) layout (no
+    transposes of the big memory). Built as the minimum-op-count XLA
+    formulation for the decode step — and still measured SLOWER there
+    than the one-hot kernels (240 vs 109 ms per B=1 episode: XLA:TPU
+    lowers the tiny broadcast gather pathologically). Kept as a
+    selectable, parity-tested variant (CAPE_MSDA_TINY /
+    CAPE_MSDA_GATHER='flat'); measurements at `_NAIVE_MAX_ROWS`.
+    """
+    B, S, H, Dh = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes), "levels mismatch"
+
+    idxs, ws = [], []
+    level_start = 0
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, lvl]
+        w_attn = attention_weights[:, :, :, lvl]
+        x = loc[..., 0] * Wl - 0.5
+        y = loc[..., 1] * Hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0).astype(value.dtype)
+        fy = (y - y0).astype(value.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        for dxi, dyi, wgt in (
+            (0, 0, (1 - fx) * (1 - fy)),
+            (1, 0, fx * (1 - fy)),
+            (0, 1, (1 - fx) * fy),
+            (1, 1, fx * fy),
+        ):
+            cx = x0i + dxi
+            cy = y0i + dyi
+            valid = (cx >= 0) & (cx < Wl) & (cy >= 0) & (cy < Hl)
+            idxs.append(level_start + jnp.clip(cy, 0, Hl - 1) * Wl +
+                        jnp.clip(cx, 0, Wl - 1))  # (B, Lq, H, P)
+            ws.append((wgt * valid.astype(value.dtype) * w_attn)
+                      .astype(value.dtype))
+        level_start += Hl * Wl
+
+    K = 4 * L * P
+    # (B, Lq, H, 4L, P) -> (B, Lq*4L*P, H): gather value rows PER HEAD on
+    # axis 1 with a broadcast index — `value` keeps its (B, S, H, Dh)
+    # layout, so the (potentially loop-invariant) memory is never
+    # re-laid-out inside the decode loop.
+    idx = jnp.stack(idxs, axis=3).transpose(0, 1, 3, 4, 2).reshape(
+        B, Lq * K, H)
+    w = jnp.stack(ws, axis=3).transpose(0, 1, 3, 4, 2).reshape(B, Lq * K, H)
+    g = jnp.take_along_axis(value, idx[..., None], axis=1)  # (B, N, H, Dh)
+    out = (g * w[..., None]).reshape(B, Lq, K, H, Dh).sum(axis=2)
+    return out.reshape(B, Lq, H * Dh)
 
 
 def ms_deform_attn_core_naive(

@@ -109,7 +109,7 @@ def test_default_impl_env(monkeypatch):
     # 'auto' (and the unset default) never picks the interpret-mode kernels
     # off-TPU — that would run the whole MSDA path interpreted in CPU tests.
     monkeypatch.setenv("CAPE_MSDA_GATHER", "auto")
-    expected = "fusedq" if jax.default_backend() == "tpu" else "xla"
+    expected = "mxu" if jax.default_backend() == "tpu" else "xla"
     assert default_gather_impl() == expected
     monkeypatch.delenv("CAPE_MSDA_GATHER")
     assert default_gather_impl() == expected

@@ -99,7 +99,7 @@ def test_quad_formulation_matches_naive(lo, hi):
                                    atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["fused", "fusedq"])
+@pytest.mark.parametrize("impl", ["fused", "fusedq", "flat"])
 @pytest.mark.parametrize("lo,hi", [(-0.2, 1.2), (-1.5, 2.5), (0.1, 0.9)])
 def test_fused_formulation_matches_naive(impl, lo, hi):
     """The single-kernel formulations (gather_impl='fused'/'fusedq',
@@ -147,6 +147,31 @@ def test_fused_out_of_bounds_is_zero():
     out = np.asarray(
         ms_deform_attn_core(value, shapes, loc, w, gather_impl="fused"))
     np.testing.assert_allclose(out, 0.0)
+
+
+def test_auto_impl_is_shape_aware(monkeypatch):
+    """'auto' must pick the naive 4-corner gather at decode-step row
+    counts (the kernels pad every call to a 256-row one-hot tile — 64x
+    waste at Lq=1) and only engage kernels at encoder-scale row counts;
+    an explicitly forced backend wins at every shape."""
+    from cape_tpu.ops.msda import _NAIVE_MAX_ROWS, _resolve_impl_for_shape
+
+    monkeypatch.delenv("CAPE_MSDA_GATHER", raising=False)
+    monkeypatch.delenv("CAPE_MSDA_TINY", raising=False)
+    # without overrides, every shape uses the process default: the
+    # kernels win even at decode-step row counts (PERF.md round 3)
+    import jax
+
+    default = "mxu" if jax.default_backend() == "tpu" else "xla"
+    assert _resolve_impl_for_shape(4) == default
+    assert _resolve_impl_for_shape(_NAIVE_MAX_ROWS + 1) == default
+    # CAPE_MSDA_TINY overrides tiny call sites only
+    monkeypatch.setenv("CAPE_MSDA_TINY", "flat")
+    assert _resolve_impl_for_shape(4) == "flat"
+    assert _resolve_impl_for_shape(_NAIVE_MAX_ROWS) == "flat"
+    assert _resolve_impl_for_shape(_NAIVE_MAX_ROWS + 1) == default
+    monkeypatch.setenv("CAPE_MSDA_GATHER", "mxu")
+    assert _resolve_impl_for_shape(4) == "mxu"  # forced wins at any shape
 
 
 def test_msda_is_differentiable():
