@@ -71,9 +71,14 @@ class CheckpointManager:
             shutil.rmtree(tmp)
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
-        self._ckptr.save(os.path.join(tmp, "state"), tree)
+        # meta.json goes in BEFORE the async orbax save: orbax creates the
+        # directory tree on its background thread, so writing meta after
+        # kicking off the save races dir creation under load (flaky
+        # FileNotFoundError observed in the full suite).
+        os.makedirs(tmp, exist_ok=True)
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
+        self._ckptr.save(os.path.join(tmp, "state"), tree)
         self._pending.append((tmp, os.path.join(self.dir, name)))
 
     def wait(self):
