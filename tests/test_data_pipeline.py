@@ -280,3 +280,29 @@ def test_threaded_loading_is_deterministic(tmp_path):
                     np.testing.assert_array_equal(a[k][tk], b[k][tk])
             else:
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_preprocessing_visualizer_smoke(fixture_paths, tmp_path):
+    """scripts/visualize_gt_preprocessing.py renders the 4-stage audit
+    panels (original+bbox | crop | resize | augmented) on the fixture —
+    parity with the reference's scripts/visualize_gt_preprocessing.py."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "viz_preproc",
+        os.path.join(repo, "scripts", "visualize_gt_preprocessing.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    tok = DiscreteTokenizer(num_bins=10, seq_len=24)
+    ds = MP100Dataset(fixture_paths["img_dir"], fixture_paths["train_ann"],
+                      tok, image_size=IMG, split="train")
+    rng = np.random.default_rng(0)
+    canvas, img_id, cid = mod.render_preprocessing_panels(
+        ds, 0, rng, np.random.default_rng(1))
+    assert canvas.dtype == np.uint8 and canvas.ndim == 3
+    # 4 panels + padding: wider than 4x the resize panel alone
+    assert canvas.shape[1] >= 4 * IMG
+    assert canvas.max() > 0
