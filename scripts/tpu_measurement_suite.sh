@@ -55,4 +55,10 @@ run device_step_b8 2400 python scripts/bench_device_step.py --batch 8
 run host_pipeline 3600 python scripts/bench_host_pipeline.py
 run bench 3600 python bench.py
 
+# Mosaic lowering smoke: every shipped Pallas kernel compiled + run
+# NON-interpreted on the chip, checked against the XLA core — catches
+# toolchain regressions deliberately instead of via a bench anomaly.
+run mosaic_lowering 1800 env CAPE_TPU_TESTS=1 \
+    python -m pytest tests/test_tpu_lowering.py -m tpu -q -rs
+
 echo "=== suite done; gather impl was $GATHER ==="

@@ -13,6 +13,12 @@ before the CPU backend initializes.
 
 import os
 
+# stash the axon relay address BEFORE scrubbing it: the tpu-marked
+# lowering smoke test (tests/test_tpu_lowering.py) re-exports it into a
+# fresh subprocess to reach the real chip from this CPU-forced session
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    os.environ.setdefault(
+        "CAPE_STASHED_AXON_IPS", os.environ["PALLAS_AXON_POOL_IPS"])
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
