@@ -26,6 +26,7 @@ def make_synthetic_mp100(
     learnable: bool = False,
     num_splits: int = 1,
     num_holdout: int = 4,
+    layout_jitter: float = 0.02,
 ) -> Dict[str, str]:
     """Write a synthetic MP-100 tree under `root`.
 
@@ -49,10 +50,16 @@ def make_synthetic_mp100(
 
     With `learnable=True` the task carries real signal instead of noise:
     keypoints sit at category-consistent relative positions inside the bbox
-    (plus jitter) and each keypoint index is drawn as a distinctive colored
-    disc on the image — so a model can localize keypoints visually and
-    generalize to unseen categories, enabling end-to-end PCK training demos
-    without the real MP-100.
+    (plus per-image Gaussian `layout_jitter`, in bbox-relative units) and
+    each keypoint index is drawn as a distinctive colored disc on the image
+    — so a model can localize keypoints visually and generalize to unseen
+    categories, enabling end-to-end PCK training demos without the real
+    MP-100. Raising `layout_jitter` gives the K-shot protocol a real
+    signal: each support's coordinates are a noisy draw around the
+    category layout, so mean-pooling K supports (the reference collate,
+    `episodic_sampler.py:434-442`) denoises the prototype by ~1/sqrt(K)
+    and 5-shot measurably beats 1-shot (the reference's core K-shot claim,
+    `README.md:466-472`).
 
     Returns dict with paths: {'root', 'train_ann', 'val_ann', 'test_ann',
     'split_file', 'img_dir'}.
@@ -117,7 +124,7 @@ def make_synthetic_mp100(
             by = int(rng.integers(0, h - bh))
             if learnable:
                 rel = cat_layouts[cat["id"]]
-                jitter = rng.normal(0, 0.02, size=rel.shape)
+                jitter = rng.normal(0, layout_jitter, size=rel.shape)
                 rel_j = np.clip(rel + jitter, 0.02, 0.98)
                 kx = bx + rel_j[:, 0] * bw
                 ky = by + rel_j[:, 1] * bh
