@@ -255,7 +255,8 @@ class CAPE(nn.Module):
     # decode-path methods (called via .apply(..., method=...) from
     # autoregressive_decode below)
     def decode_static(self, memory, support_features):
-        return self.decoder.precompute_static(memory, support_features)
+        return self.decoder.precompute_static(memory, support_features,
+                                              self.spatial_shapes)
 
     def decode_step(self, token_inputs, pos_index, mem_values, support_kvs,
                     support_mask, caches):

@@ -125,18 +125,31 @@ class DecoderLayer(nn.Module):
         y = self.linear2(y)
         return self.norm3(x + self.drop(y, deterministic=deterministic))
 
+    def memory_quads(self, memory, spatial_shapes):
+        return self.cross_attn.project_value_quads(memory, spatial_shapes)
+
     def _post_self(self, tgt, memory_value, spatial_shapes, query_pos,
                    reference_points, support_k, support_v, support_mask,
-                   deterministic):
-        """Support cross-attn + deformable cross-attn + FFN (shared)."""
+                   deterministic, prequad=False):
+        """Support cross-attn + deformable cross-attn + FFN (shared).
+
+        prequad=True: `memory_value` is the (B*H, S', 4*Dh) quad slab
+        from `memory_quads` (the KV-cached decode step)."""
         s2 = self.support_attn.attend(
             tgt, support_k, support_v, key_padding_mask=support_mask,
             deterministic=deterministic,
         )
         tgt = self.norm_support(tgt + self.drop(s2, deterministic=deterministic))
-        c2 = self.cross_attn(
-            tgt + query_pos, reference_points, memory_value, spatial_shapes
-        )
+        if prequad:
+            c2 = self.cross_attn.step_call(
+                tgt + query_pos, reference_points, memory_value,
+                spatial_shapes
+            )
+        else:
+            c2 = self.cross_attn(
+                tgt + query_pos, reference_points, memory_value,
+                spatial_shapes
+            )
         tgt = self.norm1(tgt + self.drop(c2, deterministic=deterministic))
         return self._ffn(tgt, deterministic)
 
@@ -180,7 +193,7 @@ class DecoderLayer(nn.Module):
         tgt_t: jnp.ndarray,               # (B, 1, D)
         query_pos_t: jnp.ndarray,         # (B, 1, D)
         reference_points_t: jnp.ndarray,  # (B, 1, n_levels, 2)
-        memory_value: jnp.ndarray,        # (B, S, H, Dh) pre-projected
+        memory_quads: jnp.ndarray,        # (B*H, S', 4*Dh) quad slab
         spatial_shapes: Sequence[Tuple[int, int]],
         cache: LayerCache,
         pos_index: jnp.ndarray,           # scalar int32 current position
@@ -200,9 +213,9 @@ class DecoderLayer(nn.Module):
         t2 = self.self_attn.attend(q, k, v, attn_mask=future[None, :, :])
         tgt = self.norm2(tgt_t + t2)
         out = self._post_self(
-            tgt, memory_value, spatial_shapes, query_pos_t,
+            tgt, memory_quads, spatial_shapes, query_pos_t,
             reference_points_t, support_k, support_v, support_mask,
-            deterministic=True,
+            deterministic=True, prequad=True,
         )
         return out, LayerCache(k, v)
 
@@ -431,10 +444,17 @@ class Decoder(nn.Module):
                 "flag teacher-forced only"
             )
 
-    def precompute_static(self, memory, support_features):
-        """Per-layer projections of decode-time-constant inputs."""
+    def precompute_static(self, memory, support_features, spatial_shapes):
+        """Per-layer projections of decode-time-constant inputs.
+
+        Memory is pre-projected AND pre-packed into per-layer quad slabs
+        (`ops.msda.precompute_quad_slab`) so every decode step's MSDA is
+        one 16-row gather instead of a full repack of the frozen memory
+        (the reference recomputes value_proj per generated token,
+        `roomformer_v2.py:385-677`; its VCache was dead code)."""
         self._require_v1("autoregressive decode (precompute_static)")
-        mem_values = [l.memory_value(memory) for l in self.layers]
+        mem_values = [l.memory_quads(memory, spatial_shapes)
+                      for l in self.layers]
         support_kvs = [l.support_kv(support_features) for l in self.layers]
         return mem_values, support_kvs
 
@@ -447,7 +467,7 @@ class Decoder(nn.Module):
         self,
         token_inputs,                     # dict of (B, 1) arrays
         pos_index: jnp.ndarray,           # scalar int32
-        mem_values,                       # list[(B, S, H, Dh)]
+        mem_values,                       # list[(B*H, S', 4*Dh) quad slabs]
         spatial_shapes,
         support_kvs,                      # list[(k, v)]
         support_mask,

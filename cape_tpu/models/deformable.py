@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ms_deform_attn
+from ..ops import msda as ops_msda
 
 
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
@@ -81,6 +82,46 @@ class MSDeformAttn(nn.Module):
         b, s, _ = src.shape
         v = self.value_proj(src)
         return v.reshape(b, s, self.n_heads, self.d_model // self.n_heads)
+
+    def project_value_quads(self, src: jnp.ndarray,
+                            spatial_shapes) -> jnp.ndarray:
+        """(B, S, D) -> (B*H, S', 4*Dh) decode-time quad slab.
+
+        value_proj + quad-row prepack in one cacheable step — the decode
+        loop then samples via ONE 16-row gather per (batch, head) per
+        token (`ops.msda.ms_deform_attn_core_prequad`) instead of
+        repacking the frozen memory's bilinear neighborhoods every step.
+        """
+        return ops_msda.precompute_quad_slab(
+            self.project_value(src), spatial_shapes)
+
+    def step_call(
+        self,
+        query: jnp.ndarray,
+        reference_points: jnp.ndarray,
+        quad_slab: jnp.ndarray,
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jnp.ndarray:
+        """`__call__` against a precomputed quad slab (decode step)."""
+        b, lq, _ = query.shape
+        h, l, p = self.n_heads, self.n_levels, self.n_points
+        offsets = self.sampling_offsets(query.astype(jnp.float32)).reshape(
+            b, lq, h, l, p, 2
+        )
+        attn = self.attention_weights(query).reshape(b, lq, h, l * p)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(
+            b, lq, h, l, p)
+        normalizer = jnp.asarray(
+            [[w_, h_] for h_, w_ in spatial_shapes], jnp.float32
+        )
+        loc = reference_points[:, :, None, :, None, :] + offsets / normalizer[
+            None, None, None, :, None, :
+        ]
+        out = ops_msda.ms_deform_attn_core_prequad(
+            quad_slab, tuple(tuple(s) for s in spatial_shapes),
+            loc.astype(jnp.float32), attn.astype(quad_slab.dtype),
+        )
+        return self.output_proj(out)
 
     def __call__(
         self,

@@ -48,17 +48,27 @@ from .msda_fused import fused_level_sample, quadfused_level_sample
 #: naive per-corner 281. The kernels win even here — the decode loop is
 #: bound by XLA per-op launch overhead and pathological tiny-gather
 #: lowering, not by the kernels' padded 256-row tiles — so 'auto' keeps
-#: the process default at every shape and CAPE_MSDA_TINY exists only as
-#: a per-call-site override for tiny-shape experiments.
+#: the process default at batch 1 and CAPE_MSDA_TINY exists as a
+#: per-call-site override for tiny-shape experiments.
 _NAIVE_MAX_ROWS = 256
 
+#: at tiny call sites the one-hot kernel pads every (batch x head)
+#: program's handful of rows to a 256-row tile, so its cost grows
+#: linearly with batch while `take_along_axis` stays cheap — the round-4
+#: gather-idiom probe measured the inversion at the decode-step shape
+#: (XLA 38.8 us vs one-hot 150.9 us on the B=8 folded slab,
+#: scripts/probe_prefetch_gather.py). 'auto' therefore switches tiny
+#: sites to XLA at/above this batch (calibrated by
+#: scripts/probe_decode_sweep.py; override: CAPE_MSDA_TINY_XLA_BATCH).
+_TINY_XLA_MIN_BATCH = 8
 
-def _resolve_impl_for_shape(n_rows: int) -> str:
+
+def _resolve_impl_for_shape(n_rows: int, batch: int = 1) -> str:
     """Shape-aware resolution of the 'auto' backend (n_rows = Lq * P).
 
     An explicitly forced CAPE_MSDA_GATHER wins at every shape; only
-    'auto' consults CAPE_MSDA_TINY for tiny call sites (n_rows is
-    static under jit).
+    'auto' consults CAPE_MSDA_TINY / the batch threshold for tiny call
+    sites (n_rows and batch are static under jit).
     """
     if os.environ.get("CAPE_MSDA_GATHER", "auto").lower() != "auto":
         return default_gather_impl()
@@ -66,6 +76,10 @@ def _resolve_impl_for_shape(n_rows: int) -> str:
         tiny = os.environ.get("CAPE_MSDA_TINY", "").lower()
         if tiny:
             return tiny
+        min_b = int(os.environ.get(
+            "CAPE_MSDA_TINY_XLA_BATCH", _TINY_XLA_MIN_BATCH))
+        if batch >= min_b:
+            return "xla"
     return default_gather_impl()
 
 
@@ -160,7 +174,8 @@ def ms_deform_attn_core(
     """
     if gather_impl is None:
         gather_impl = _resolve_impl_for_shape(
-            sampling_locations.shape[1] * sampling_locations.shape[4])
+            sampling_locations.shape[1] * sampling_locations.shape[4],
+            batch=sampling_locations.shape[0])
     if gather_impl == "naive":
         return ms_deform_attn_core_naive(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -332,6 +347,92 @@ def ms_deform_attn_core_flat(
     g = jnp.take_along_axis(value, idx[..., None], axis=1)  # (B, N, H, Dh)
     out = (g * w[..., None]).reshape(B, Lq, K, H, Dh).sum(axis=2)
     return out.reshape(B, Lq, H * Dh)
+
+
+def quad_level_offsets(spatial_shapes) -> Tuple[int, ...]:
+    """Static row offset of each level inside the flat quad slab.
+
+    Level l occupies rows [off_l, off_l + (W_l+1) + H_l*W_l) — the
+    `_quad_rows` layout (front pad F = W_l+1 included).
+    """
+    offs, start = [], 0
+    for (h, w) in spatial_shapes:
+        offs.append(start)
+        start += (w + 1) + h * w
+    return tuple(offs)
+
+
+def precompute_quad_slab(value: jnp.ndarray, spatial_shapes) -> jnp.ndarray:
+    """(B, S, H, Dh) projected value -> (B*H, S', 4*Dh) flat quad slab.
+
+    Decode-time prepack: the encoder memory is frozen across the
+    autoregressive loop, but `ms_deform_attn_core` rebuilds the quad-row
+    neighborhoods of every level x head from scratch at each generated
+    token (~4x the memory's bytes of pad+stack traffic per decoder layer
+    per step, for an Lq=1 query). Packing ONCE here turns the decode-step
+    MSDA into a single 16-row gather from this slab (`..._prequad`).
+    S' = sum over levels of (W_l+1) + H_l*W_l (quad-row front pads kept so
+    the per-level base indices stay valid after adding the level offset).
+    """
+    B, S, H, Dh = value.shape
+    vt = jnp.swapaxes(value, 1, 2).reshape(B * H, S, Dh)
+    offs = _level_offsets(spatial_shapes)
+    slabs = []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        lv = jax.lax.dynamic_slice_in_dim(vt, offs[lvl], Hl * Wl, 1)
+        slabs.append(_quad_rows(lv, Wl))  # (B*H, (Wl+1)+HW, 4*Dh)
+    return jnp.concatenate(slabs, axis=1)
+
+
+def ms_deform_attn_core_prequad(
+    quad_slab: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    gather_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Decode-step core against a precomputed quad slab.
+
+    Same function as `ms_deform_attn_core` (reference:
+    `models/deformable_transformer.py:115-141`), but the quad-row packing
+    is hoisted out (`precompute_quad_slab`) and ALL L*P samples of every
+    (batch, head) ride ONE gather — at the decode step that is 16 rows
+    per (b, h) instead of 32 separate per-(level, head) pack+gather ops
+    over the full memory per layer per token.
+
+    Args:
+        quad_slab: (B*H, S', 4*Dh) from `precompute_quad_slab`.
+        sampling_locations: (B, Lq, H, L, P, 2); attention_weights
+            (B, Lq, H, L, P) as in `ms_deform_attn_core`.
+    """
+    BH, Sq, C = quad_slab.shape
+    Dh = C // 4
+    B, Lq, H, L, P, _ = sampling_locations.shape
+    assert BH == B * H and L == len(spatial_shapes)
+    dtype = quad_slab.dtype
+
+    qoffs = quad_level_offsets(spatial_shapes)
+    bases, weights = [], []
+    for lvl, base, w4 in _quad_bases_and_weights(
+            spatial_shapes, sampling_locations, attention_weights, dtype):
+        bases.append(base + qoffs[lvl])   # (B, Lq, H, P) global rows
+        weights.append(w4)                # (B, Lq, H, P, 4)
+    gi = jnp.stack(bases, axis=3)         # (B, Lq, H, L, P)
+    gi = jnp.moveaxis(gi, 2, 1).reshape(B * H, Lq * L * P)
+    w = jnp.stack(weights, axis=3)        # (B, Lq, H, L, P, 4)
+    w = jnp.moveaxis(w, 2, 1).reshape(B * H, Lq, L * P * 4)
+
+    if gather_impl is None:
+        gather_impl = _resolve_impl_for_shape(Lq * L * P, batch=B)
+    if gather_impl != "mxu":
+        gather_impl = "xla"  # prequad sites gather rows: xla | mxu only
+    g = quad_gather(quad_slab, gi, impl=gather_impl)
+    g = g.reshape(B * H, Lq, L * P * 4 * Dh)
+    gw = g * jnp.repeat(w, Dh, axis=-1)
+    sum_m = jnp.tile(jnp.eye(Dh, dtype=dtype), (L * P * 4, 1))
+    out = jnp.einsum("bqk,kd->bqd", gw, sum_m)  # (B*H, Lq, Dh)
+    out = out.reshape(B, H, Lq, Dh)
+    return jnp.swapaxes(out, 1, 2).reshape(B, Lq, H * Dh)
 
 
 def ms_deform_attn_core_naive(

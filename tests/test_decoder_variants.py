@@ -390,5 +390,5 @@ class TestVariantDecoderStack:
         assert np.isfinite(np.asarray(refs)).all()
 
         with pytest.raises(ValueError, match="layer_type='v1'"):
-            dec.apply(variables, memory, support,
+            dec.apply(variables, memory, support, SHAPES,
                       method=Decoder.precompute_static)

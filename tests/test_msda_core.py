@@ -174,6 +174,64 @@ def test_auto_impl_is_shape_aware(monkeypatch):
     assert _resolve_impl_for_shape(4) == "mxu"  # forced wins at any shape
 
 
+def test_auto_impl_is_batch_aware(monkeypatch):
+    """At tiny call sites 'auto' switches to XLA take_along_axis at/above
+    the measured batch threshold: the one-hot kernels pad every
+    (batch x head) program's handful of rows to a 256-row tile, so their
+    cost grows linearly with batch (round-4 gather probe: XLA 38.8 us vs
+    one-hot 150.9 us at the B=8 decode-step slab)."""
+    from cape_tpu.ops.msda import _TINY_XLA_MIN_BATCH, _resolve_impl_for_shape
+
+    monkeypatch.delenv("CAPE_MSDA_GATHER", raising=False)
+    monkeypatch.delenv("CAPE_MSDA_TINY", raising=False)
+    monkeypatch.delenv("CAPE_MSDA_TINY_XLA_BATCH", raising=False)
+    assert _resolve_impl_for_shape(4, batch=_TINY_XLA_MIN_BATCH) == "xla"
+    assert _resolve_impl_for_shape(4, batch=128) == "xla"
+    # big-row (encoder) sites never take the tiny-batch branch
+    import jax
+
+    default = "mxu" if jax.default_backend() == "tpu" else "xla"
+    assert _resolve_impl_for_shape(512, batch=128) == default
+    # an explicit CAPE_MSDA_TINY still wins over the batch rule
+    monkeypatch.setenv("CAPE_MSDA_TINY", "naive")
+    assert _resolve_impl_for_shape(4, batch=128) == "naive"
+    # threshold is env-tunable
+    monkeypatch.delenv("CAPE_MSDA_TINY", raising=False)
+    monkeypatch.setenv("CAPE_MSDA_TINY_XLA_BATCH", "1000000")
+    assert _resolve_impl_for_shape(4, batch=128) == default
+
+
+@pytest.mark.parametrize("impl", ["xla", "mxu"])
+@pytest.mark.parametrize("lo,hi", [(-0.2, 1.2), (-1.5, 2.5), (0.1, 0.9)])
+def test_prequad_formulation_matches_naive(impl, lo, hi):
+    """The decode-step prequad path (quad slab packed once + single
+    16-row gather per (batch, head)) must equal the direct 4-corner
+    gather oracle, including far-out-of-bounds locations."""
+    from cape_tpu.ops.msda import (
+        ms_deform_attn_core_naive,
+        ms_deform_attn_core_prequad,
+        precompute_quad_slab,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, Dh, Lq, P = 2, 4, 32, 1, 4  # decode step: Lq=1; Dh*4=128 lanes
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, H, Dh)).astype(np.float32)
+    loc = rng.uniform(lo, hi, size=(B, Lq, H, L, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Lq, H, L, P)).astype(np.float32)
+    w /= w.reshape(B, Lq, H, -1).sum(-1)[..., None, None]
+
+    slab = precompute_quad_slab(value, shapes)
+    assert slab.shape == (B * H, sum((w_ + 1) + h_ * w_ for h_, w_ in shapes),
+                          4 * Dh)
+    got = np.asarray(ms_deform_attn_core_prequad(
+        slab, shapes, loc, w, gather_impl=impl))
+    ref = np.asarray(ms_deform_attn_core_naive(value, shapes, loc, w))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_msda_is_differentiable():
     import jax
     import jax.numpy as jnp
