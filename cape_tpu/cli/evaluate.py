@@ -46,6 +46,11 @@ def get_args_parser():
     p.add_argument("--gt_structure", action="store_true",
                    help="extract predicted keypoints at GT token positions "
                         "(reference fallback, engine_cape.py:1015-1022)")
+    p.add_argument("--support_coord_noise", type=float, default=0.0,
+                   help="i.i.d. Gaussian noise std (normalized units) on "
+                        "every support's keypoints before the K-shot "
+                        "mean-pool — the controlled probe of mean-pool "
+                        "denoising (episodic_sampler.py:434-442)")
     p.add_argument("--output_dir", default=None,
                    help="where to write metrics json (default: checkpoint dir)")
     return p
@@ -106,6 +111,7 @@ def main(argv=None):
         cfg.max_support_keypoints, cfg.max_skeleton_edges,
         np.random.default_rng(args.seed), fixed=fixed,
         total_episodes=args.num_episodes,
+        support_coord_noise=args.support_coord_noise,
     )
     from ..data.prefetch import prefetch
 

@@ -265,6 +265,7 @@ def episode_batches(
     fixed: Optional[List[Dict]] = None,
     num_threads: int = 1,
     total_episodes: Optional[int] = None,
+    support_coord_noise: float = 0.0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield `num_batches` fixed-shape episode batches.
 
@@ -277,6 +278,16 @@ def episode_batches(
     path too: episodes beyond it (tail-batch padding) are generated but
     flagged invalid, so `num_batches * batch_episodes` can exceed the
     configured protocol without silently scoring extra episodes.
+
+    `support_coord_noise > 0` perturbs every support's keypoint
+    coordinates with i.i.d. Gaussian noise (std in normalized [0,1]
+    units, drawn from the episode's child rng — deterministic per seed)
+    BEFORE the K-shot mean-pool in `collate_episodes`. This is the
+    controlled probe of the reference's K-shot premise (mean over K
+    supports denoises the prototype at sigma/sqrt(K),
+    `episodic_sampler.py:434-442`): with noisy supports, 5-shot recovers
+    the layout 1-shot cannot. Eval-only knob (cli/evaluate
+    --support_coord_noise); 0.0 = off, no behavior change.
 
     `num_threads > 1` loads the batch's episodes on a thread pool — the PNG
     decode / cv2 augmentation hot loop releases the GIL, so on real TPU-VM
@@ -314,6 +325,19 @@ def episode_batches(
                 loaded = load_episode(dataset, episode, child,
                                       sampler=sampler)
                 loaded["valid"] = valid
+                if support_coord_noise > 0.0:
+                    # copy before perturbing: records may be shared via
+                    # the dataset's decode cache
+                    noisy = []
+                    for s in loaded["supports"]:
+                        s = dict(s)
+                        kp = np.asarray(s["keypoints"], np.float32).copy()
+                        kp += child.normal(
+                            0.0, support_coord_noise * image_size,
+                            size=kp.shape).astype(np.float32)
+                        s["keypoints"] = kp
+                        noisy.append(s)
+                    loaded["supports"] = noisy
                 return loaded
 
             eps = list(pool.map(load, specs) if pool

@@ -23,6 +23,7 @@ per layer (`:1096-1102`), anchors = sigmoid(learned query_embed)
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
@@ -193,7 +194,9 @@ class DecoderLayer(nn.Module):
         tgt_t: jnp.ndarray,               # (B, 1, D)
         query_pos_t: jnp.ndarray,         # (B, 1, D)
         reference_points_t: jnp.ndarray,  # (B, 1, n_levels, 2)
-        memory_quads: jnp.ndarray,        # (B*H, S', 4*Dh) quad slab
+        memory_quads: jnp.ndarray,        # (B*H, S', 4*Dh) quad slab, or
+        #                                   (B, S, H, Dh) plain value cache
+        #                                   (CAPE_DECODE_PREQUAD=0)
         spatial_shapes: Sequence[Tuple[int, int]],
         cache: LayerCache,
         pos_index: jnp.ndarray,           # scalar int32 current position
@@ -215,7 +218,7 @@ class DecoderLayer(nn.Module):
         out = self._post_self(
             tgt, memory_quads, spatial_shapes, query_pos_t,
             reference_points_t, support_k, support_v, support_mask,
-            deterministic=True, prequad=True,
+            deterministic=True, prequad=memory_quads.ndim == 3,
         )
         return out, LayerCache(k, v)
 
@@ -451,10 +454,21 @@ class Decoder(nn.Module):
         (`ops.msda.precompute_quad_slab`) so every decode step's MSDA is
         one 16-row gather instead of a full repack of the frozen memory
         (the reference recomputes value_proj per generated token,
-        `roomformer_v2.py:385-677`; its VCache was dead code)."""
+        `roomformer_v2.py:385-677`; its VCache was dead code).
+
+        Memory trade: a quad slab holds each value row 4x (once per
+        bilinear corner role), so the decode cache is ~4x the plain
+        (B, S, H, Dh) value cache, per layer — at the flagship shape
+        ~17 MB/layer (bf16, B=1) vs ~4.3 MB. CAPE_DECODE_PREQUAD=0 opts
+        out for memory-constrained batched serving: the plain per-layer
+        value cache is kept and each decode step repacks on the fly via
+        `ms_deform_attn_core` (slower, all gather backends selectable)."""
         self._require_v1("autoregressive decode (precompute_static)")
-        mem_values = [l.memory_quads(memory, spatial_shapes)
-                      for l in self.layers]
+        if os.environ.get("CAPE_DECODE_PREQUAD", "1") == "0":
+            mem_values = [l.memory_value(memory) for l in self.layers]
+        else:
+            mem_values = [l.memory_quads(memory, spatial_shapes)
+                          for l in self.layers]
         support_kvs = [l.support_kv(support_features) for l in self.layers]
         return mem_values, support_kvs
 
@@ -467,7 +481,9 @@ class Decoder(nn.Module):
         self,
         token_inputs,                     # dict of (B, 1) arrays
         pos_index: jnp.ndarray,           # scalar int32
-        mem_values,                       # list[(B*H, S', 4*Dh) quad slabs]
+        mem_values,                       # list of quad slabs (or plain
+        #                                   value caches, see
+        #                                   precompute_static)
         spatial_shapes,
         support_kvs,                      # list[(k, v)]
         support_mask,

@@ -95,14 +95,12 @@ class MSDeformAttn(nn.Module):
         return ops_msda.precompute_quad_slab(
             self.project_value(src), spatial_shapes)
 
-    def step_call(
-        self,
-        query: jnp.ndarray,
-        reference_points: jnp.ndarray,
-        quad_slab: jnp.ndarray,
-        spatial_shapes: Sequence[Tuple[int, int]],
-    ) -> jnp.ndarray:
-        """`__call__` against a precomputed quad slab (decode step)."""
+    def _sampling_inputs(self, query, reference_points, spatial_shapes):
+        """Shared offsets/attention-softmax/location block.
+
+        Returns (loc fp32 (B, Lq, H, L, P, 2), attn fp32 (B, Lq, H, L, P));
+        used by both `__call__` and `step_call` so the two can't drift.
+        """
         b, lq, _ = query.shape
         h, l, p = self.n_heads, self.n_levels, self.n_points
         offsets = self.sampling_offsets(query.astype(jnp.float32)).reshape(
@@ -111,15 +109,28 @@ class MSDeformAttn(nn.Module):
         attn = self.attention_weights(query).reshape(b, lq, h, l * p)
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(
             b, lq, h, l, p)
+        # offsets normalized per level by (W, H) (`deformable_transformer.py:102-105`)
         normalizer = jnp.asarray(
             [[w_, h_] for h_, w_ in spatial_shapes], jnp.float32
-        )
+        )  # (L, 2) as (W, H)... note stack([shapes[...,1], shapes[...,0]])
         loc = reference_points[:, :, None, :, None, :] + offsets / normalizer[
             None, None, None, :, None, :
         ]
+        return loc.astype(jnp.float32), attn
+
+    def step_call(
+        self,
+        query: jnp.ndarray,
+        reference_points: jnp.ndarray,
+        quad_slab: jnp.ndarray,
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jnp.ndarray:
+        """`__call__` against a precomputed quad slab (decode step)."""
+        loc, attn = self._sampling_inputs(
+            query, reference_points, spatial_shapes)
         out = ops_msda.ms_deform_attn_core_prequad(
             quad_slab, tuple(tuple(s) for s in spatial_shapes),
-            loc.astype(jnp.float32), attn.astype(quad_slab.dtype),
+            loc, attn.astype(quad_slab.dtype),
         )
         return self.output_proj(out)
 
@@ -135,22 +146,10 @@ class MSDeformAttn(nn.Module):
             reference_points: (B, Lq, L, 2) normalized (x, y).
             value: (B, S, H, Dh) — output of `project_value`.
         """
-        b, lq, _ = query.shape
-        h, l, p = self.n_heads, self.n_levels, self.n_points
-        offsets = self.sampling_offsets(query.astype(jnp.float32)).reshape(
-            b, lq, h, l, p, 2
-        )
-        attn = self.attention_weights(query).reshape(b, lq, h, l * p)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(b, lq, h, l, p)
-        # offsets normalized per level by (W, H) (`deformable_transformer.py:102-105`)
-        normalizer = jnp.asarray(
-            [[w_, h_] for h_, w_ in spatial_shapes], jnp.float32
-        )  # (L, 2) as (W, H)... note stack([shapes[...,1], shapes[...,0]])
-        loc = reference_points[:, :, None, :, None, :] + offsets / normalizer[
-            None, None, None, :, None, :
-        ]
+        loc, attn = self._sampling_inputs(
+            query, reference_points, spatial_shapes)
         out = ms_deform_attn(
-            value, spatial_shapes, loc.astype(jnp.float32),
+            value, spatial_shapes, loc,
             attn.astype(value.dtype), use_pallas=self.use_pallas,
         )
         return self.output_proj(out)

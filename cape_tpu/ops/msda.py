@@ -58,17 +58,22 @@ _NAIVE_MAX_ROWS = 256
 #: gather-idiom probe measured the inversion at the decode-step shape
 #: (XLA 38.8 us vs one-hot 150.9 us on the B=8 folded slab,
 #: scripts/probe_prefetch_gather.py). 'auto' therefore switches tiny
-#: sites to XLA at/above this batch (calibrated by
-#: scripts/probe_decode_sweep.py; override: CAPE_MSDA_TINY_XLA_BATCH).
+#: DECODE sites (Lq == 1) to XLA at/above this batch (in-context
+#: calibration: the round-5 decode sweep + dispatch ablation tables in
+#: PERF.md; override: CAPE_MSDA_TINY_XLA_BATCH). Training/teacher-forced
+#: call sites (Lq > 1) never take this branch — the inversion was only
+#: ever measured at the Lq=1 decode-step shape.
 _TINY_XLA_MIN_BATCH = 8
 
 
-def _resolve_impl_for_shape(n_rows: int, batch: int = 1) -> str:
+def _resolve_impl_for_shape(n_rows: int, batch: int = 1,
+                            lq: int = 1) -> str:
     """Shape-aware resolution of the 'auto' backend (n_rows = Lq * P).
 
     An explicitly forced CAPE_MSDA_GATHER wins at every shape; only
     'auto' consults CAPE_MSDA_TINY / the batch threshold for tiny call
-    sites (n_rows and batch are static under jit).
+    sites (n_rows, batch and lq are static under jit). The batch
+    threshold applies only to single-query (decode-step) sites.
     """
     if os.environ.get("CAPE_MSDA_GATHER", "auto").lower() != "auto":
         return default_gather_impl()
@@ -78,7 +83,7 @@ def _resolve_impl_for_shape(n_rows: int, batch: int = 1) -> str:
             return tiny
         min_b = int(os.environ.get(
             "CAPE_MSDA_TINY_XLA_BATCH", _TINY_XLA_MIN_BATCH))
-        if batch >= min_b:
+        if lq == 1 and batch >= min_b:
             return "xla"
     return default_gather_impl()
 
@@ -175,7 +180,8 @@ def ms_deform_attn_core(
     if gather_impl is None:
         gather_impl = _resolve_impl_for_shape(
             sampling_locations.shape[1] * sampling_locations.shape[4],
-            batch=sampling_locations.shape[0])
+            batch=sampling_locations.shape[0],
+            lq=sampling_locations.shape[1])
     if gather_impl == "naive":
         return ms_deform_attn_core_naive(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -423,9 +429,23 @@ def ms_deform_attn_core_prequad(
     w = jnp.moveaxis(w, 2, 1).reshape(B * H, Lq, L * P * 4)
 
     if gather_impl is None:
-        gather_impl = _resolve_impl_for_shape(Lq * L * P, batch=B)
-    if gather_impl != "mxu":
-        gather_impl = "xla"  # prequad sites gather rows: xla | mxu only
+        gather_impl = _resolve_impl_for_shape(Lq * L * P, batch=B, lq=Lq)
+    if gather_impl not in ("mxu", "xla"):
+        # Prequad sites are pure row gathers from the packed slab: only
+        # the 'xla' take_along_axis and 'mxu' one-hot backends apply.
+        # 'naive'/'flat'/'fused'/'fusedq' are whole-core formulations that
+        # need the unpacked (B, S, H, Dh) value — a forced request for
+        # them here cannot be honored, so say so instead of silently
+        # measuring xla (CAPE_DECODE_PREQUAD=0 disables the prepack and
+        # routes decode through ms_deform_attn_core where every backend
+        # is selectable).
+        import warnings
+        warnings.warn(
+            f"CAPE_MSDA gather impl {gather_impl!r} is not available at "
+            "prequad decode sites (only 'xla'/'mxu'); using 'xla'. Set "
+            "CAPE_DECODE_PREQUAD=0 to benchmark other backends in the "
+            "decode step.", stacklevel=2)
+        gather_impl = "xla"
     g = quad_gather(quad_slab, gi, impl=gather_impl)
     g = g.reshape(B * H, Lq, L * P * 4 * Dh)
     gw = g * jnp.repeat(w, Dh, axis=-1)

@@ -16,6 +16,19 @@ Expected: 5-shot macro/micro PCK > 1-shot by a margin that grows with
 
     timeout 14400 python scripts/run_kshot_demo.py \
         --root /tmp/kshot_fixture --epochs 30
+
+MEASURED CAVEAT (round 5, PERF.md): training ON the jittered fixture
+teaches the model to localize the query's visual markers and distrust
+the support prior, so 1-shot vs 5-shot measures flat. The controlled
+demonstration of the mean-pool mechanism is --support_coord_noise:
+train on a CLEAN fixture (layout_jitter 0), then evaluate the same
+checkpoint with i.i.d. Gaussian noise injected into every support's
+coordinates at episode assembly — 1-shot eats the full noise, 5-shot's
+mean-pool shrinks it by sqrt(5) (`episodic_sampler.py:434-442`):
+
+    timeout 14400 python scripts/run_kshot_demo.py \
+        --root /tmp/kshot_clean --layout_jitter 0 \
+        --support_coord_noise 0.1 --num_eval_episodes 240
 """
 
 from __future__ import annotations
@@ -37,6 +50,9 @@ def main():
     ap.add_argument("--episodes_per_epoch", type=int, default=50)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--num_eval_episodes", type=int, default=80)
+    ap.add_argument("--support_coord_noise", type=float, default=0.0,
+                    help="eval-time support coordinate noise std "
+                         "(normalized units); see module docstring")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint under --root/out")
     args = ap.parse_args()
@@ -93,6 +109,7 @@ def main():
             "--split", "test",
             "--num_episodes", str(args.num_eval_episodes),
             "--num_support", str(k),
+            "--support_coord_noise", str(args.support_coord_noise),
             "--seed", "123",
             "--output_dir", edir,
         ])
@@ -105,6 +122,7 @@ def main():
         print(f"{k}-shot: {results[f'{k}shot']}", flush=True)
 
     results["layout_jitter"] = args.layout_jitter
+    results["support_coord_noise"] = args.support_coord_noise
     delta = (results["5shot"]["macro_pck"] or 0) - \
         (results["1shot"]["macro_pck"] or 0)
     results["macro_delta_5shot_minus_1shot"] = round(delta, 4)

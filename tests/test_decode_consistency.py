@@ -102,3 +102,38 @@ def test_stepwise_decode_matches_teacher_forced_forward():
             pred_coords[i, :n], tf_coords[i, :n], atol=2e-4, rtol=1e-3,
             err_msg=f"sample {i} coords diverge",
         )
+
+
+def test_decode_prequad_optout_matches_default(monkeypatch):
+    """CAPE_DECODE_PREQUAD=0 (plain per-layer value caches, on-the-fly
+    quad packing each step — the low-memory serving mode) must produce
+    the same decode as the default prepacked quad-slab path."""
+    import test_model as tm
+
+    model = CAPE(CFG)
+    b = tm.make_batch(seed=23)
+    params = model.init(
+        jax.random.PRNGKey(2), b["query_images"], b["support_coords"],
+        b["support_mask"], b["skeleton_edges"], b["targets"],
+    )
+
+    def run():
+        out = autoregressive_decode(
+            model, params, b["query_images"], b["support_coords"],
+            b["support_mask"], b["skeleton_edges"],
+        )
+        return (np.asarray(out["pred_logits"]), np.asarray(out["pred_coords"]),
+                np.asarray(out["lengths"]))
+
+    monkeypatch.delenv("CAPE_DECODE_PREQUAD", raising=False)
+    logits_pq, coords_pq, len_pq = run()
+    monkeypatch.setenv("CAPE_DECODE_PREQUAD", "0")
+    logits_pl, coords_pl, len_pl = run()
+
+    np.testing.assert_array_equal(len_pq, len_pl)
+    for i in range(logits_pq.shape[0]):
+        n = int(len_pq[i])
+        np.testing.assert_allclose(logits_pq[i, :n], logits_pl[i, :n],
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(coords_pq[i, :n], coords_pl[i, :n],
+                                   atol=2e-4, rtol=1e-3)

@@ -192,6 +192,10 @@ def test_auto_impl_is_batch_aware(monkeypatch):
 
     default = "mxu" if jax.default_backend() == "tpu" else "xla"
     assert _resolve_impl_for_shape(512, batch=128) == default
+    # the batch rule is decode-only (Lq == 1): small-but-multi-query
+    # teacher-forced sites keep the process default — the XLA inversion
+    # was only ever measured at the Lq=1 decode-step shape
+    assert _resolve_impl_for_shape(64, batch=128, lq=16) == default
     # an explicit CAPE_MSDA_TINY still wins over the batch rule
     monkeypatch.setenv("CAPE_MSDA_TINY", "naive")
     assert _resolve_impl_for_shape(4, batch=128) == "naive"
