@@ -4,8 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol: flagship model (ResNet-50, 6+6 layers, d=256, 512x512 images,
 seq_len 200), batch = 1 episode (the reference eval protocol,
-`eval_cape_checkpoint.py:296-317`), full autoregressive decode (encoder once
-+ 200 scan steps with KV caches). Reported value = episodes/sec (average
+`eval_cape_checkpoint.py:296-317`), full autoregressive decode (encoder
+once + while_loop decode with KV caches capped at the category length +
+margin — the eval CLI's decode_max_len=auto production default). Reported value = episodes/sec (average
 over a queued batch of timed runs with a hard device->host sync — see the
 timing-protocol note in main(); `block_until_ready` alone does not reliably
 block through the axon relay); also prints episode latency to stderr.
@@ -89,15 +90,20 @@ def main():
     t = tokenize_keypoints(tok, rng.uniform(5, S - 5, (17, 2)), S, S)
     targets = {k: np.stack([v] * B) for k, v in t.items()}
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), images, sc, sm, edges, targets
     )
     # force_length=18 makes every episode generate a trained-model-
     # representative 17-keypoint sequence + EOS even with random params
-    # (otherwise early random EOS would flatter the number).
+    # (otherwise early random EOS would flatter the number). max_len caps
+    # the KV caches at the category length + margin exactly as the eval
+    # CLI's decode_max_len=auto default does (bit-identical decode — see
+    # autoregressive_decode; the torch reference's dynamically-growing
+    # caches never pay the full seq_len either, so the cap is also the
+    # fair baseline comparison).
     decode = jax.jit(
         lambda p, i, c, m, e: autoregressive_decode(
-            model, p, i, c, m, e, force_length=18)
+            model, p, i, c, m, e, force_length=18, max_len=24)
     )
 
     # Timing protocol (relay-honest): `jax.block_until_ready` can return
@@ -128,12 +134,32 @@ def main():
     sm68[:, 68:] = True
     decode68 = jax.jit(
         lambda p, i, c, m, e: autoregressive_decode(
-            model, p, i, c, m, e, force_length=69)
+            model, p, i, c, m, e, force_length=69, max_len=72)
     )
     t68 = timed_queue(lambda: decode68(params, images, sc, sm68, edges),
                       "pred_coords", 5)
     print(f"68-kpt episode latency: {t68 * 1000:.1f} ms"
           f" ({B / t68:.0f} eps/sec)", file=sys.stderr)
+
+    # fleet-representative eval throughput: the MP-100 split-1 TEST mix
+    # spans 9-68 keypoints (`engine_cape.py:743-798` extracts K coords per
+    # category). Per-category counts below are the public per-source-
+    # dataset keypoint definitions for the 20 test categories in
+    # `/root/reference/category_splits.json` (AnimalWeb faces 9, CUB birds
+    # 15, AP-10K/animal-pose bodies 17, Keypoint-5 furniture 10/13,
+    # DeepFashion2 garments 29/39) — approximate where the container has
+    # no annotations to read exact counts from. Per-episode latency is
+    # interpolated linearly in decode length between the two measured
+    # points (17-kpt and 68-kpt episodes above).
+    test_mix = [9] * 5 + [15] * 2 + [17] * 9 + [10, 13, 29, 39]
+    slope_per_tok = (t68 - p50) / (69 - 18)
+    lat = [p50 + slope_per_tok * (k + 1 - 18) for k in test_mix]
+    fleet_eps = len(lat) / sum(lat)
+    print(f"fleet-weighted eval throughput (MP-100 split-1 test mix, "
+          f"{len(test_mix)} categories, 9-39 kpts): "
+          f"{fleet_eps:.1f} eps/sec/chip "
+          f"(mean episode {1e3 * sum(lat) / len(lat):.1f} ms)",
+          file=sys.stderr)
 
     # batched decode throughput (serving mode): the reference is locked to
     # batch 1 by ragged torch shapes; our fixed-shape episodes batch freely

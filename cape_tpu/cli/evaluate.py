@@ -46,6 +46,12 @@ def get_args_parser():
     p.add_argument("--gt_structure", action="store_true",
                    help="extract predicted keypoints at GT token positions "
                         "(reference fallback, engine_cape.py:1015-1022)")
+    p.add_argument("--decode_max_len", default="auto",
+                   help="KV-cache/decode-length cap: 'auto' (default) = "
+                        "split's max keypoint count + EOS + margin, "
+                        "rounded up to a multiple of 8 — PCK-identical "
+                        "and faster per step; 'off' = full seq_len; or "
+                        "an integer")
     p.add_argument("--support_coord_noise", type=float, default=0.0,
                    help="i.i.d. Gaussian noise std (normalized units) on "
                         "every support's keypoints before the K-shot "
@@ -96,7 +102,7 @@ def main(argv=None):
         ds, sampler, 1, 1, cfg.image_size, cfg.max_support_keypoints,
         cfg.max_skeleton_edges, rng, fixed=fixed,
     ))
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), probe["query_images"], probe["support_coords"],
         probe["support_mask"], probe["skeleton_edges"], probe["targets"],
     )
@@ -115,12 +121,25 @@ def main(argv=None):
     )
     from ..data.prefetch import prefetch
 
+    if args.decode_max_len == "auto":
+        maxk = max((ds.coco.category_num_keypoints(c) or 0)
+                   for c in sampler.categories)
+        # coords + EOS + margin, multiple of 8; never above seq_len
+        cap = min(cfg.seq_len, -(-(maxk + 2) // 8) * 8)
+    elif str(args.decode_max_len).lower() in ("off", "none", "0", ""):
+        cap = None
+    else:
+        cap = min(cfg.seq_len, int(args.decode_max_len))
+    if cap:
+        print(f"decode_max_len: {cap} (seq_len {cfg.seq_len})", flush=True)
+
     stats = evaluate_cape(model, state.params,
                           prefetch(batches, transform=jax.device_put),
                           cfg,
                           pck_threshold=args.pck_threshold, print_freq=20,
                           pck_norm=args.pck_norm,
-                          gt_structure_fallback=args.gt_structure)
+                          gt_structure_fallback=args.gt_structure,
+                          decode_max_len=cap)
 
     print(f"\n{'=' * 60}")
     print(f"PCK@{args.pck_threshold} ({args.split}, "

@@ -87,7 +87,7 @@ def main(argv=None):
     probe = next(episode_batches(ds, sampler, 1, 1, cfg.image_size,
                                  cfg.max_support_keypoints,
                                  cfg.max_skeleton_edges, rng, fixed=fixed))
-    variables = model.init(jax.random.PRNGKey(0), probe["query_images"],
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), probe["query_images"],
                            probe["support_coords"], probe["support_mask"],
                            probe["skeleton_edges"], probe["targets"])
     state = create_train_state(cfg, variables, steps_per_epoch=1)

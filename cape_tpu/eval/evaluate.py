@@ -79,13 +79,15 @@ def extract_gt_keypoints(targets: Dict[str, np.ndarray],
     return out
 
 
-@partial(jax.jit, static_argnums=0)
-def _decode_jit(model, params, images, sc, sm, se):
+@partial(jax.jit, static_argnums=(0, 6))
+def _decode_jit(model, params, images, sc, sm, se, max_len=None):
     """Jitted decode keyed on the (hashable) model as a static argument:
     the executable caches in jax's global jit cache, so repeated
     `evaluate_cape` calls (one per validation epoch) reuse one compile
-    instead of re-tracing a fresh lambda every time."""
-    return autoregressive_decode(model, params, images, sc, sm, se)
+    instead of re-tracing a fresh lambda every time. `max_len` (static)
+    is the KV-cache/loop cap — see `autoregressive_decode`."""
+    return autoregressive_decode(model, params, images, sc, sm, se,
+                                 max_len=max_len)
 
 
 def evaluate_cape(
@@ -100,6 +102,7 @@ def evaluate_cape(
     pck_norm: str = "original_bbox",
     gt_structure_fallback: bool = False,
     multihost: bool = False,
+    decode_max_len: "int | None" = None,
 ) -> Dict:
     """Run autoregressive eval over episode batches. Returns stats dict with
     pck, pck_mean_categories, per-category PCK, counts (+ losses).
@@ -117,6 +120,12 @@ def evaluate_cape(
 
     Both the PCK accumulation and the optional teacher-forced loss exclude
     `sample_valid=False` padding rows (static-batch wrap-around episodes).
+
+    `decode_max_len` (static) caps the decode's KV-cache length below
+    cfg.seq_len — PCK-identical whenever it exceeds the split's largest
+    keypoint count + 1 (EOS), since extraction reads at most
+    num_keypoints coords and the per-step math is unchanged; the eval
+    CLI computes it from the split by default.
 
     `multihost=True` (sharded pod evaluation): each host contributes a
     DISJOINT slice of episodes to one SPMD decode over the global mesh
@@ -140,6 +149,7 @@ def evaluate_cape(
             {"params": params} if "params" not in params else params,
             batch["query_images"], batch["support_coords"],
             batch["support_mask"], batch["skeleton_edges"],
+            decode_max_len,
         )
         if multihost:
             out = allgather_tree(out)
@@ -158,7 +168,8 @@ def evaluate_cape(
         n_unfinished = int((np.asarray(out["unfinished"]) & valid).sum())
         if n_unfinished and os.environ.get("WARN_INCOMPLETE_GENERATION", "1") == "1":
             warnings.warn(
-                f"{n_unfinished} sequence(s) hit max_len={cfg.seq_len} "
+                f"{n_unfinished} sequence(s) hit "
+                f"max_len={decode_max_len or cfg.seq_len} "
                 f"without predicting EOS — the model may not have learned "
                 f"stopping behavior (check EOS weighting/training length).",
                 RuntimeWarning,

@@ -276,6 +276,7 @@ def autoregressive_decode(
     skeleton_edges: jnp.ndarray,
     force_length: Optional[int] = None,
     encoded: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    max_len: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fused on-device autoregressive generation.
 
@@ -296,11 +297,26 @@ def autoregressive_decode(
         gen_valid   (B, L) bool — True where a coordinate was generated
         lengths     (B,) int32 — generated tokens incl. EOS
         unfinished  (B,) bool — True if a sample hit max_len without EOS
+
+    `max_len` (static) caps generation below cfg.seq_len AND sizes the
+    KV caches/output buffers to it: every decode step's self-attention
+    runs over `max_len` cache slots instead of seq_len, so when the
+    episode's keypoint count is known (the eval protocol always knows
+    it — `engine_cape.py:743-798` extracts exactly K coords) a tight
+    cap cuts per-step cost with bit-identical results for any episode
+    that finishes within it (future slots are masked either way; only
+    EOS-failure truncation behavior moves in, exactly like the
+    reference's max_len). Outputs are padded back to (B, seq_len, ...)
+    so the caller contract is unchanged.
     """
     cfg = model.cfg
     tok = DiscreteTokenizer(num_bins=cfg.num_bins, seq_len=cfg.seq_len)
     B = support_coords.shape[0]
-    L = cfg.seq_len
+    L = cfg.seq_len if max_len is None else min(int(max_len), cfg.seq_len)
+    # NOTE: force_length may exceed L — generation then truncates at L
+    # with unfinished=True, the reference's incomplete-generation
+    # behavior (`roomformer_v2.py:608-621`), pinned by
+    # test_68_keypoint_decode_overflows_short_seq.
     nb = cfg.num_bins
 
     if encoded is None:
@@ -416,6 +432,10 @@ def autoregressive_decode(
                      buffers)
     )
     lengths = buffers["active"].sum(axis=1).astype(jnp.int32)
+    pad = cfg.seq_len - L
+    if pad:  # restore the (B, seq_len, ...) caller contract
+        buffers = {k: jnp.pad(v, ((0, 0), (0, pad)) + ((0, 0),) * (v.ndim - 2))
+                   for k, v in buffers.items()}
     return {
         "pred_logits": buffers["logits"],
         "pred_coords": buffers["coords"],

@@ -82,6 +82,11 @@ def train_loop(
         val_sampler.fixed_episodes(cfg.val_episodes_per_epoch, cfg.val_seed)
         if cfg.fixed_val_episodes else None
     )
+    # decode-length cap from the val split's max keypoint count (see
+    # eval.evaluate.evaluate_cape: PCK-identical, faster per step)
+    val_maxk = max((val_ds.coco.category_num_keypoints(c) or 0)
+                   for c in val_sampler.categories)
+    val_cap = min(cfg.seq_len, -(-(val_maxk + 2) // 8) * 8)
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     episodes = cfg.debug_overfit_episodes if overfit else cfg.episodes_per_epoch
@@ -104,7 +109,7 @@ def train_loop(
         train_ds, sampler, local_batch, 1, cfg.image_size,
         cfg.max_support_keypoints, cfg.max_skeleton_edges, rng,
     ))
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.seed), probe["query_images"],
         probe["support_coords"], probe["support_mask"],
         probe["skeleton_edges"], probe["targets"],
@@ -254,7 +259,7 @@ def train_loop(
                 model, state.params,
                 prefetch(val_batches,
                          transform=lambda b: global_shard_inputs(b, mesh)),
-                cfg, multihost=True,
+                cfg, multihost=True, decode_max_len=val_cap,
             )
         else:
             eval_b, n_val_batches = eval_batch_plan(
@@ -271,6 +276,7 @@ def train_loop(
                 prefetch(val_batches,
                          transform=lambda b: shard_batch(b, mesh)),
                 cfg, compute_loss=True, eval_loss_fn=eval_loss_fn,
+                decode_max_len=val_cap,
             )
         pck = val_stats["pck"]
         train_loss = logger.meters["loss"].global_avg

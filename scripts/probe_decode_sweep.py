@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--batches", default="1,8,32")
     ap.add_argument("--lengths", default="18",
                     help="comma list of forced decode lengths")
+    ap.add_argument("--max_len", default="off",
+                    help="'off' = full seq_len KV caches (the round-4 "
+                         "default), 'auto' = force_length+6 rounded up "
+                         "to 8 (the eval CLI's decode_max_len=auto "
+                         "production default), or an integer")
     ap.add_argument("--encode_only", action="store_true")
     ap.add_argument("--queue", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
@@ -66,8 +71,11 @@ def main():
     tok = DiscreteTokenizer(cfg.num_bins, cfg.seq_len)
     t = tokenize_keypoints(tok, rng.uniform(5, S - 5, (17, 2)), S, S)
     t0 = time.perf_counter()
-    params = model.init(jax.random.PRNGKey(0), images[:1], sc[:1], sm[:1],
-                        edges[:1], {k: v[None] for k, v in t.items()})
+    # jitted init: ONE compiled dispatch instead of thousands of eager ops
+    # through the tunneled relay (measured: eager 1178s -> jitted ~60s)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), images[:1], sc[:1], sm[:1],
+        edges[:1], {k: v[None] for k, v in t.items()})
     print(f"init: {time.perf_counter() - t0:.0f}s", file=sys.stderr,
           flush=True)
 
@@ -105,9 +113,17 @@ def main():
                 print(json.dumps(rec), flush=True)
                 continue
             for fl in (int(x) for x in args.lengths.split(",")):
+                if args.max_len == "auto":
+                    ml = min(cfg.seq_len, -(-(fl + 6) // 8) * 8)
+                elif args.max_len == "off":
+                    ml = None
+                else:
+                    ml = min(cfg.seq_len, int(args.max_len))
                 decode = jax.jit(
-                    lambda p, i, c_, m_, e_, fl=fl: autoregressive_decode(
-                        model, p, i, c_, m_, e_, force_length=fl))
+                    lambda p, i, c_, m_, e_, fl=fl, ml=ml:
+                    autoregressive_decode(
+                        model, p, i, c_, m_, e_, force_length=fl,
+                        max_len=ml))
                 t0 = time.perf_counter()
                 out = decode(params, im, c, m, e)
                 np.asarray(out["pred_coords"]).ravel()[:1]
@@ -117,6 +133,7 @@ def main():
                     lambda o: np.asarray(o["pred_coords"]).ravel()[:1],
                     args.queue, args.reps)
                 rec = {"impl": impl, "batch": b, "force_length": fl,
+                       "max_len": ml,
                        "ms": round(tq * 1e3, 2),
                        "ms_per_episode": round(tq * 1e3 / b, 2),
                        "eps_per_sec": round(b / tq, 1),

@@ -137,3 +137,31 @@ def test_decode_prequad_optout_matches_default(monkeypatch):
                                    atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(coords_pq[i, :n], coords_pl[i, :n],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_decode_max_len_cap_is_exact():
+    """A max_len cap below seq_len (smaller KV caches, shorter loop) must
+    reproduce the full-length decode exactly for episodes that finish
+    within the cap, with outputs padded back to (B, seq_len, ...)."""
+    import test_model as tm
+
+    model = CAPE(CFG)
+    b = tm.make_batch(seed=31)
+    params = model.init(
+        jax.random.PRNGKey(3), b["query_images"], b["support_coords"],
+        b["support_mask"], b["skeleton_edges"], b["targets"],
+    )
+    full = autoregressive_decode(
+        model, params, b["query_images"], b["support_coords"],
+        b["support_mask"], b["skeleton_edges"], force_length=10,
+    )
+    capped = autoregressive_decode(
+        model, params, b["query_images"], b["support_coords"],
+        b["support_mask"], b["skeleton_edges"], force_length=10, max_len=12,
+    )
+    for k in ("pred_logits", "pred_coords", "gen_valid"):
+        a, c = np.asarray(full[k]), np.asarray(capped[k])
+        assert a.shape == c.shape, (k, a.shape, c.shape)
+        np.testing.assert_allclose(c, a, atol=2e-4, rtol=1e-3, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(full["lengths"]),
+                                  np.asarray(capped["lengths"]))
