@@ -27,6 +27,7 @@ def make_synthetic_mp100(
     num_splits: int = 1,
     num_holdout: int = 4,
     layout_jitter: float = 0.02,
+    marker_style: str = "indexed",
 ) -> Dict[str, str]:
     """Write a synthetic MP-100 tree under `root`.
 
@@ -61,6 +62,21 @@ def make_synthetic_mp100(
     and 5-shot measurably beats 1-shot (the reference's core K-shot claim,
     `README.md:466-472`).
 
+    `marker_style` controls whether keypoint IDENTITY is visually
+    recoverable from the query image alone (learnable mode only):
+      - 'indexed' (default): keypoint index i is always drawn in color
+        kpt_colors[i], shared across categories — identity is readable
+        off the image, so a trained model can IGNORE the support prior
+        entirely (measured: PCK invariant to support-coordinate noise,
+        PERF.md round 5). Good for localization demos, useless for
+        K-shot ones.
+      - 'uniform': every keypoint is the same fixed bright disc — the
+        image reveals WHERE keypoints are but not WHICH, so index
+        assignment must come from the support layout. This is the
+        honest miniature of the real CAPE task (support = the only
+        source of category structure) and the fixture on which the
+        mean-pool K-shot claim is demonstrable.
+
     Returns dict with paths: {'root', 'train_ann', 'val_ann', 'test_ann',
     'split_file', 'img_dir'}.
     """
@@ -73,8 +89,14 @@ def make_synthetic_mp100(
 
     # per-keypoint-index marker colors, shared across categories (learnable
     # mode): index i is always drawn in color _KPT_COLORS[i]
+    if marker_style not in ("indexed", "uniform"):
+        raise ValueError(f"marker_style={marker_style!r}: 'indexed'|'uniform'")
     max_k = keypoint_range[1]
+    # always draw from the stream so 'indexed' and 'uniform' fixtures share
+    # identical layouts/bboxes for a given seed (controlled comparison)
     kpt_colors = (rng.integers(60, 256, size=(max_k, 3))).astype(np.int32)
+    if marker_style == "uniform":
+        kpt_colors = np.full((max_k, 3), 235, np.int32)
 
     categories = []
     cat_layouts = {}

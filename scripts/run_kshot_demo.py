@@ -17,18 +17,24 @@ Expected: 5-shot macro/micro PCK > 1-shot by a margin that grows with
     timeout 14400 python scripts/run_kshot_demo.py \
         --root /tmp/kshot_fixture --epochs 30
 
-MEASURED CAVEAT (round 5, PERF.md): training ON the jittered fixture
-teaches the model to localize the query's visual markers and distrust
-the support prior, so 1-shot vs 5-shot measures flat. The controlled
-demonstration of the mean-pool mechanism is --support_coord_noise:
-train on a CLEAN fixture (layout_jitter 0), then evaluate the same
-checkpoint with i.i.d. Gaussian noise injected into every support's
-coordinates at episode assembly — 1-shot eats the full noise, 5-shot's
-mean-pool shrinks it by sqrt(5) (`episodic_sampler.py:434-442`):
+MEASURED CAVEAT (round 5, PERF.md): on the default 'indexed' fixture
+the keypoint index is color-coded into the query image (same colors
+across categories), so a trained model reads identity off the image and
+IGNORES the support prior — measured: eval PCK invariant to support-
+coordinate noise, so both jittered-fixture training and eval-time
+--support_coord_noise measure 1-shot == 5-shot, flat.
+
+The demonstrable setting is --marker_style uniform: every keypoint is
+the same disc, the image reveals WHERE but not WHICH, and index
+assignment must come from the support layout (the honest miniature of
+the real CAPE task). With per-image layout jitter the supports are
+noisy draws around the category layout and the collate's mean-pool
+(`episodic_sampler.py:434-442`) denoises the prototype at
+sigma/sqrt(K) — 5-shot > 1-shot:
 
     timeout 14400 python scripts/run_kshot_demo.py \
-        --root /tmp/kshot_clean --layout_jitter 0 \
-        --support_coord_noise 0.1 --num_eval_episodes 240
+        --root /tmp/kshot_uniform --marker_style uniform \
+        --layout_jitter 0.08 --num_eval_episodes 240
 """
 
 from __future__ import annotations
@@ -53,6 +59,12 @@ def main():
     ap.add_argument("--support_coord_noise", type=float, default=0.0,
                     help="eval-time support coordinate noise std "
                          "(normalized units); see module docstring")
+    ap.add_argument("--marker_style", default="indexed",
+                    choices=["indexed", "uniform"],
+                    help="'uniform' draws every keypoint as the same disc "
+                         "so identity must come from the support layout — "
+                         "the fixture on which 5-shot>1-shot is "
+                         "demonstrable (see data/synthetic.py)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint under --root/out")
     args = ap.parse_args()
@@ -68,6 +80,7 @@ def main():
             keypoint_range=(5, 9), image_size=(256, 320), seed=7,
             learnable=True, num_holdout=8,
             layout_jitter=args.layout_jitter,
+            marker_style=args.marker_style,
         )
 
     if not args.skip_train:

@@ -318,6 +318,43 @@ def test_threaded_loading_is_deterministic(tmp_path):
                 np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_uniform_marker_fixture(tmp_path):
+    """marker_style='uniform' removes the visual identity channel (every
+    keypoint is the same bright disc) while keeping layouts, bboxes and
+    annotations byte-identical to the 'indexed' fixture at the same seed —
+    the controlled fixture on which support coords are load-bearing
+    (PERF.md round 5: on 'indexed', eval PCK is invariant to support
+    noise because index colors leak identity)."""
+    import json as _json
+    import os
+
+    from cape_tpu.data.synthetic import make_synthetic_mp100
+    from PIL import Image
+
+    a = make_synthetic_mp100(str(tmp_path / "idx"), num_categories=3,
+                             images_per_category=2, learnable=True,
+                             seed=11, marker_style="indexed")
+    b = make_synthetic_mp100(str(tmp_path / "uni"), num_categories=3,
+                             images_per_category=2, learnable=True,
+                             seed=11, marker_style="uniform")
+    with open(a["train_ann"]) as f, open(b["train_ann"]) as g:
+        assert _json.load(f) == _json.load(g)  # identical layouts/bboxes
+
+    fname = _json.load(open(a["train_ann"]))["images"][0]["file_name"]
+    ia = np.asarray(Image.open(os.path.join(a["img_dir"], fname)))
+    ib = np.asarray(Image.open(os.path.join(b["img_dir"], fname)))
+    # uniform: every marker pixel is the single fixed color
+    bright_b = ib[ib.max(axis=-1) > 150]
+    assert len(bright_b) > 0 and (bright_b == 235).all()
+    # indexed: markers span multiple distinct colors
+    bright_a = ia[ia.max(axis=-1) > 150]
+    assert len(np.unique(bright_a.reshape(-1, 3), axis=0)) > 1
+
+    with pytest.raises(ValueError, match="marker_style"):
+        make_synthetic_mp100(str(tmp_path / "bad"), learnable=True,
+                             marker_style="nope")
+
+
 def test_preprocessing_visualizer_smoke(fixture_paths, tmp_path):
     """scripts/visualize_gt_preprocessing.py renders the 4-stage audit
     panels (original+bbox | crop | resize | augmented) on the fixture —
