@@ -182,6 +182,11 @@ def ms_deform_attn_core(
             sampling_locations.shape[1] * sampling_locations.shape[4],
             batch=sampling_locations.shape[0],
             lq=sampling_locations.shape[1])
+    if gather_impl == "zero":
+        # measurement-only ablation — see ms_deform_attn_core_prequad
+        return jnp.zeros(
+            (value.shape[0], sampling_locations.shape[1],
+             value.shape[2] * value.shape[3]), value.dtype)
     if gather_impl == "naive":
         return ms_deform_attn_core_naive(
             value, spatial_shapes, sampling_locations, attention_weights)
@@ -430,6 +435,12 @@ def ms_deform_attn_core_prequad(
 
     if gather_impl is None:
         gather_impl = _resolve_impl_for_shape(Lq * L * P, batch=B, lq=Lq)
+    if gather_impl == "zero":
+        # measurement-only ablation (CAPE_MSDA_TINY=zero): skip the slab
+        # gather + blend entirely and emit zeros, so decode-step probes
+        # can price the MSDA cross-attention's share of the step without
+        # touching the model. NOT a numerically valid decode.
+        return jnp.zeros((B, Lq, H * Dh), dtype)
     if gather_impl not in ("mxu", "xla"):
         # Prequad sites are pure row gathers from the packed slab: only
         # the 'xla' take_along_axis and 'mxu' one-hot backends apply.

@@ -236,6 +236,45 @@ def test_prequad_formulation_matches_naive(impl, lo, hi):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_zero_ablation_impl_reaches_both_cores(monkeypatch):
+    """The 'zero' measurement-only ablation (CAPE_MSDA_TINY=zero) must
+    actually reach the call site and zero the MSDA output at BOTH cores
+    — the exact instrument-wiring failure mode the round-5 noise probe
+    taught us to test for (a knob that silently doesn't apply measures
+    the wrong thing)."""
+    from cape_tpu.ops.msda import (
+        _resolve_impl_for_shape,
+        ms_deform_attn_core_prequad,
+        precompute_quad_slab,
+    )
+
+    rng = np.random.default_rng(3)
+    B, H, Dh, Lq, P = 2, 2, 4, 1, 4
+    shapes = [(4, 4), (2, 2)]
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, S, H, Dh)).astype(np.float32)
+    loc = rng.uniform(0.1, 0.9, size=(B, Lq, H, L, P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Lq, H, L, P)).astype(np.float32)
+
+    out = np.asarray(ms_deform_attn_core(
+        value, shapes, loc, w, gather_impl="zero"))
+    assert out.shape == (B, Lq, H * Dh) and (out == 0).all()
+
+    slab = precompute_quad_slab(value, shapes)
+    outq = np.asarray(ms_deform_attn_core_prequad(
+        slab, shapes, loc, w, gather_impl="zero"))
+    assert outq.shape == (B, Lq, H * Dh) and (outq == 0).all()
+    # and the non-ablated path is nonzero on the same inputs
+    assert np.abs(np.asarray(ms_deform_attn_core_prequad(
+        slab, shapes, loc, w, gather_impl="xla"))).max() > 0
+
+    # env threading: CAPE_MSDA_TINY=zero resolves at tiny sites
+    monkeypatch.delenv("CAPE_MSDA_GATHER", raising=False)
+    monkeypatch.setenv("CAPE_MSDA_TINY", "zero")
+    assert _resolve_impl_for_shape(4, batch=1) == "zero"
+
+
 def test_msda_is_differentiable():
     import jax
     import jax.numpy as jnp
