@@ -65,6 +65,20 @@ def main():
                          "so identity must come from the support layout — "
                          "the fixture on which 5-shot>1-shot is "
                          "demonstrable (see data/synthetic.py)")
+    ap.add_argument("--num_categories", type=int, default=40)
+    ap.add_argument("--images_per_category", type=int, default=10)
+    ap.add_argument("--num_holdout", type=int, default=8,
+                    help="categories held out (split between val/test). "
+                         "MANY categories x FEW images is the "
+                         "anti-memorization regime: with few examples per "
+                         "category the train loss can no longer be "
+                         "minimized by memorizing per-category layouts "
+                         "(which transfers zero to unseen categories) and "
+                         "the support-copying solution wins")
+    ap.add_argument("--sensitivity_sigma", type=float, default=0.3,
+                    help="after the K-shot evals, re-run 1-shot with this "
+                         "LARGE support noise as a does-the-model-even-"
+                         "use-supports control (0 = skip)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint under --root/out")
     args = ap.parse_args()
@@ -73,12 +87,14 @@ def main():
 
     out_dir = os.path.join(args.root, "out")
     if not os.path.exists(os.path.join(args.root, "category_splits.json")):
-        print(f"generating 40-category fixture (layout_jitter="
-              f"{args.layout_jitter}) under {args.root}", flush=True)
+        print(f"generating {args.num_categories}-category fixture "
+              f"(layout_jitter={args.layout_jitter}, "
+              f"{args.marker_style} markers) under {args.root}", flush=True)
         make_synthetic_mp100(
-            args.root, num_categories=40, images_per_category=10,
+            args.root, num_categories=args.num_categories,
+            images_per_category=args.images_per_category,
             keypoint_range=(5, 9), image_size=(256, 320), seed=7,
-            learnable=True, num_holdout=8,
+            learnable=True, num_holdout=args.num_holdout,
             layout_jitter=args.layout_jitter,
             marker_style=args.marker_style,
         )
@@ -133,6 +149,38 @@ def main():
             "macro_pck": m["pck_mean_categories"],
         }
         print(f"{k}-shot: {results[f'{k}shot']}", flush=True)
+
+    if args.sensitivity_sigma > 0:
+        # support-sensitivity control, in-process (the jitted decode is
+        # warm): re-run the 1-shot eval with LARGE support noise. If PCK
+        # barely moves, the trained model is ignoring the support prior
+        # and any K-shot comparison on this checkpoint is structurally
+        # flat (the round-5 indexed-fixture failure mode) — report it so
+        # the flat result carries its own diagnosis.
+        edir = os.path.join(args.root, "eval_sensitivity")
+        eval_main([
+            "--checkpoint", str(ckpt),
+            "--dataset_root", args.root,
+            "--category_split_file",
+            os.path.join(args.root, "category_splits.json"),
+            "--split", "test",
+            "--num_episodes", str(args.num_eval_episodes),
+            "--num_support", "1",
+            "--support_coord_noise", str(args.sensitivity_sigma),
+            "--seed", "123",
+            "--output_dir", edir,
+        ])
+        with open(os.path.join(edir, "metrics_test.json")) as f:
+            m = json.load(f)
+        results["sensitivity"] = {
+            "sigma": args.sensitivity_sigma,
+            "micro_pck": m["pck"],
+            "macro_pck": m["pck_mean_categories"],
+            "drop_vs_1shot": round(
+                (results["1shot"]["micro_pck"] or 0) - m["pck"], 4),
+        }
+        print(f"sensitivity (sigma={args.sensitivity_sigma}): "
+              f"{results['sensitivity']}", flush=True)
 
     results["layout_jitter"] = args.layout_jitter
     results["support_coord_noise"] = args.support_coord_noise
