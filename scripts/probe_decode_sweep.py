@@ -51,6 +51,7 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from cape_tpu.config import CAPEConfig
     from cape_tpu.models import CAPE
@@ -97,14 +98,21 @@ def main():
         for b in (int(x) for x in args.batches.split(",")):
             im, c, m, e = images[:b], sc[:b], sm[:b], edges[:b]
             if args.encode_only:
-                enc = jax.jit(lambda i, c_, m_, e_: (
-                    model.apply(params, i, method=CAPE.encode_image),
-                    model.apply(params, c_, m_, e_,
-                                method=CAPE.encode_support)))
+                # reduce the outputs to ONE scalar on device so the sync
+                # fetch moves 4 bytes, not the whole (B, S', D) memory —
+                # the 2026-08-20 run fetched the full encoder memory
+                # (2.8 MB/episode) through the tunneled relay and reported
+                # transfer time as encode time (80 ms "encode" vs a 62 ms
+                # whole-episode encoder bound from the zero ablation).
+                enc = jax.jit(lambda i, c_, m_, e_: sum(
+                    jnp.sum(l.astype(jnp.float32)) for l in
+                    jax.tree_util.tree_leaves((
+                        model.apply(params, i, method=CAPE.encode_image),
+                        model.apply(params, c_, m_, e_,
+                                    method=CAPE.encode_support)))))
                 tq = timed_queue(
                     lambda: enc(im, c, m, e),
-                    lambda o: np.asarray(
-                        jax.tree_util.tree_leaves(o)[0]).ravel()[:1],
+                    lambda o: np.asarray(o),
                     args.queue, args.reps)
                 rec = {"impl": impl, "batch": b, "phase": "encode",
                        "ms": round(tq * 1e3, 2),
